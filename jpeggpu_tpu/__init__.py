@@ -1,0 +1,33 @@
+"""jpeggpu_tpu: TPU-native baseline-JPEG decoding framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the CUDA
+library nolmoonen/jpeggpu: host-side marker parsing and table derivation,
+device-side destuffing, subsequence-parallel speculative Huffman decoding
+with self-synchronization, DC prefix-sums, MCU de-interleaving and integer
+dequantize+IDCT — plus batched, multi-chip decode via jax.sharding.
+"""
+
+from .errors import (
+    IncompleteBitstream,
+    InternalError,
+    InvalidArgument,
+    InvalidJpeg,
+    JpegError,
+    NotSupported,
+    Status,
+    get_status_string,
+)
+from .reader import JpegStream, parse
+
+__all__ = [
+    "IncompleteBitstream",
+    "InternalError",
+    "InvalidArgument",
+    "InvalidJpeg",
+    "JpegError",
+    "NotSupported",
+    "Status",
+    "get_status_string",
+    "JpegStream",
+    "parse",
+]
