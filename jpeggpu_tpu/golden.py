@@ -73,11 +73,19 @@ class _BitReader:
         return (chunk >> (32 - (self.p & 7))) & 0xFFFFFFFF
 
 
-def _get_value(num_bits: int, code: int) -> int:
-    # T.81 F.12 EXTEND (decode_huffman.cu:196-200)
-    if code < (1 << num_bits) >> 1:
-        return code + ((-1) << num_bits) + 1
-    return code
+def _extract_value(bits32: int, cat_len: int, cat: int) -> int:
+    """Read ``cat`` value bits following the category code and sign-extend
+    (T.81 F.12 EXTEND, decode_huffman.cu:196-200).
+
+    Shift amounts are guarded identically to the device path so garbage
+    categories (only reachable from invalid streams) stay deterministic and
+    device/golden-consistent.
+    """
+    offset = ((bits32 << cat_len) & 0xFFFFFFFF) >> ((32 - cat) & 31)
+    cat_c = min(cat, 31)
+    if offset < (1 << cat_c) >> 1:
+        return offset - (1 << cat_c) + 1
+    return offset
 
 
 def _decode_category(table: HuffmanTable, bits32: int) -> tuple[int, int]:
@@ -130,8 +138,7 @@ def decode_scan_coefficients(stream: JpegStream, scan: Scan, buf: np.ndarray) ->
                 if cat == 0:
                     sym, length = 0, cat_len
                 else:
-                    offset = ((bits32 << cat_len) & 0xFFFFFFFF) >> (32 - cat)
-                    sym = _get_value(cat, offset)
+                    sym = _extract_value(bits32, cat_len, cat)
                     length = cat_len + cat
             else:
                 v, cat_len = _decode_category(ac_tbl[c], bits32)
@@ -140,8 +147,7 @@ def decode_scan_coefficients(stream: JpegStream, scan: Scan, buf: np.ndarray) ->
                     sym, length = 0, cat_len
                     run = 15 if run == 15 else 63 - z
                 else:
-                    offset = ((bits32 << cat_len) & 0xFFFFFFFF) >> (32 - cat)
-                    sym = _get_value(cat, offset)
+                    sym = _extract_value(bits32, cat_len, cat)
                     length = cat_len + cat
             if reader.p + length > seg_bits:
                 break  # symbol would cross the padded segment end

@@ -1,0 +1,47 @@
+"""DC un-delta: segmented inclusive prefix-sum over the DC slots.
+
+XLA recast of the CUB InclusiveSum(ByKey) over stride-64 permutation
+iterators (src/decode_dc.cu:88-169): per scan component, a masked cumsum in
+stream order with per-restart-segment reset; int16 wraparound semantics are
+preserved (the reference accumulates in int16).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .huffman import ScanConfig
+
+
+def undelta_dc(cfg: ScanConfig, comp_slots, coeffs: jax.Array) -> jax.Array:
+    """Undo DC difference coding in stream order.
+
+    Args:
+      cfg: scan geometry.
+      comp_slots: static list of (off_in_mcu, du_per_mcu) per scan component.
+      coeffs: int16[total_positions] stream-order coefficients.
+
+    Returns updated coefficients.
+    """
+    total_du = cfg.total_mcus * cfg.du_per_mcu
+    arr = coeffs.reshape(total_du, C.DATA_UNIT_SIZE)
+    dc = arr[:, 0].astype(jnp.int32)
+    d = jnp.arange(total_du, dtype=jnp.int32)
+    slot = d % cfg.du_per_mcu
+    seg_du = cfg.mcus_per_seg * cfg.du_per_mcu
+    seg = d // seg_du
+
+    new_dc = dc
+    for off, cnt in comp_slots:
+        sel = (slot >= off) & (slot < off + cnt)
+        x = jnp.where(sel, dc, 0)
+        cum = jnp.cumsum(x)
+        # subtract the running total at the end of the previous segment
+        base = jnp.where(seg > 0, jnp.take(cum, jnp.maximum(seg * seg_du - 1, 0)), 0)
+        new_dc = jnp.where(sel, cum - base, new_dc)
+
+    # int16 wrap like the reference's int16 scan
+    wrapped = ((new_dc + 0x8000) & 0xFFFF) - 0x8000
+    return arr.at[:, 0].set(wrapped.astype(jnp.int16)).reshape(-1)

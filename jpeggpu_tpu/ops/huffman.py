@@ -1,0 +1,402 @@
+"""Device entropy decoder: subsequence-parallel speculative Huffman decode.
+
+TPU-native redesign of the reference's three-kernel scheme
+(src/decode_huffman.cu:406-621 sync, :627-682 write): every subsequence is a
+SIMD *lane* of a vectorized decoder; the intra/inter-block state
+synchronization of the paper ("Accelerating JPEG Decompression on GPUs",
+arXiv:2111.09219) is recast as a whole-array Jacobi fixed-point iteration on
+the per-subsequence decoder states:
+
+  round 0:  E[i] = decode(i, blind_i)            (speculative, all lanes)
+  round k:  E[i] = decode(i, E[i-1])             (states shifted one lane)
+  stop when E stops changing (self-synchronization typically makes this
+  converge in 2-3 rounds; segment starts are exact by construction).
+
+This removes the reference's two-level 256/512 hierarchy and its 16 MiB/scan
+hard cap (decode_huffman.cu:809-814): the state shift is a pure vector
+operation with no block structure, so scan size is bounded only by memory.
+
+The per-symbol inner loop is engineered for the VPU: **no gathers**. A lane
+only ever reads bits from its own 32-word subsequence plus one word on
+either side, so bit loads are one-hot selects over a (lanes, 34) window that
+is built once by pure layout ops; Huffman table rows are resolved by static
+select chains over the <=4 scan components (baseline allows 4 DC + 4 AC
+tables); symbol values come from a packed-word one-hot reduction.
+
+Decode-state semantics match decode_huffman.cu exactly:
+  p  bit position relative to the segment (never crosses a subsequence
+     boundary mid-symbol; the crossing symbol belongs to the next lane),
+  n  symbols (coefficient positions) produced by this subsequence,
+  c  data-unit index within the MCU, z  zig-zag index within the data unit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Static (hashable) per-scan decode geometry."""
+
+    num_subseq: int
+    lanes: int  # padded lane count >= num_subseq
+    num_segments: int
+    du_per_mcu: int
+    mcus_per_seg: int
+    total_mcus: int
+    # per scan component: (end_slot_exclusive, dc_table_slot, ac_table_slot);
+    # table slots index the packed 8-table arrays (= id*2 + class)
+    comp_groups: Tuple[Tuple[int, int, int], ...]
+
+    @property
+    def total_positions(self) -> int:
+        return self.total_mcus * self.du_per_mcu * C.DATA_UNIT_SIZE
+
+    @property
+    def positions_per_seg(self) -> int:
+        return self.mcus_per_seg * self.du_per_mcu * C.DATA_UNIT_SIZE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ScanArrays:
+    """Device inputs for one scan."""
+
+    words: jax.Array  # uint32[lanes*32] big-endian destuffed words
+    seg_of_subseq: jax.Array  # int32[lanes]
+    seg_first_lane: jax.Array  # int32[lanes] first subsequence of my segment
+    seg_num_subseq: jax.Array  # int32[lanes] subsequence count of my segment
+    maxcode: jax.Array  # int32[8,16]
+    vsm: jax.Array  # int32[8,16] valptr - mincode
+    huffval: jax.Array  # int32[8*256]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class _Ctx:
+    """Precomputed per-scan decode context (built once per decode).
+
+    All per-symbol intermediates use a (k, lanes) layout: the lane axis is
+    the TPU lane dimension (multiple of 128), the small k axis lands on
+    sublanes with minimal padding.
+    """
+
+    window: jax.Array  # uint32[34, lanes] own words +- one neighbor word
+    hv_packed: jax.Array  # int32[8, 64] huffval bytes packed 4-per-word
+    word_end: jax.Array  # int32[lanes] absolute word index of segment end
+    seg_base_bits: jax.Array  # int32[lanes]
+    end_subseq: jax.Array  # int32[lanes] bit bound of own subsequence
+    rel: jax.Array  # int32[lanes] subsequence index within segment
+    lane_valid: jax.Array  # bool[lanes]
+    first_of_seg: jax.Array  # bool[lanes]
+
+
+def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
+    lanes = cfg.lanes
+    words2d = arrs.words.reshape(lanes, C.CHUNK_SIZE_WORDS).T  # (32, lanes)
+    prev_last = jnp.roll(words2d[-1:, :], 1, axis=1)
+    next_first = jnp.roll(words2d[:1, :], -1, axis=1)
+    window = jnp.concatenate([prev_last, words2d, next_first], axis=0)
+
+    # pack huffval bytes big-endian-in-word so byte j of entry 4k+j sits at
+    # bits [24-8j, ...) of word k — extracted with shifts, no gather
+    hv = arrs.huffval.reshape(C.MAX_HUFF_PER_SCAN, 256)
+    hv4 = hv.reshape(C.MAX_HUFF_PER_SCAN, 64, 4)
+    hv_packed = (hv4[..., 0] << 24) | (hv4[..., 1] << 16) | \
+        (hv4[..., 2] << 8) | hv4[..., 3]
+
+    lane = jnp.arange(lanes, dtype=jnp.int32)
+    rel = lane - arrs.seg_first_lane
+    return _Ctx(
+        window=window,
+        hv_packed=hv_packed,
+        word_end=(arrs.seg_first_lane + arrs.seg_num_subseq) * C.CHUNK_SIZE_WORDS,
+        seg_base_bits=arrs.seg_first_lane * C.SUBSEQ_SIZE_BITS,
+        end_subseq=(rel + 1) * C.SUBSEQ_SIZE_BITS,
+        rel=rel,
+        lane_valid=lane < cfg.num_subseq,
+        first_of_seg=rel == 0,
+    )
+
+
+def _load32(ctx: _Ctx, p: jax.Array) -> jax.Array:
+    """Next 32 bits MSB-aligned at segment-relative bit p, zero past the
+    segment end (reference reader semantics,
+    decode_huffman_reader.hpp:72-112). Pure one-hot selects — no gather."""
+    lanes = ctx.window.shape[1]
+    abs_bit = ctx.seg_base_bits + p
+    w = abs_bit >> 5
+    b = (abs_bit & 31).astype(jnp.uint32)
+    lane_word0 = jnp.arange(lanes, dtype=jnp.int32) * C.CHUNK_SIZE_WORDS
+    # index into the 34-word window; 0 is the previous lane's last word
+    w_rel = w - lane_word0 + 1
+    iota = jnp.arange(34, dtype=jnp.int32)[:, None]
+    oh0 = iota == w_rel[None, :]
+    oh1 = iota == (w_rel + 1)[None, :]
+    w0 = jnp.sum(jnp.where(oh0, ctx.window, 0), axis=0, dtype=jnp.uint32)
+    w1 = jnp.sum(jnp.where(oh1, ctx.window, 0), axis=0, dtype=jnp.uint32)
+    w0 = jnp.where(w < ctx.word_end, w0, 0)
+    w1 = jnp.where(w + 1 < ctx.word_end, w1, 0)
+    hi = w0 << b
+    lo = jnp.where(b > 0, w1 >> ((np.uint32(32) - b) & np.uint32(31)), 0)
+    return hi | lo
+
+
+def _select_rows_t(cfg: ScanConfig, table: jax.Array, c: jax.Array,
+                   is_dc: jax.Array) -> jax.Array:
+    """Per-lane (16,) table row as (16, lanes), resolved by a static select
+    chain over the scan components and DC/AC class."""
+    groups = cfg.comp_groups
+
+    def row_for(g):
+        dc_row = table[g[1]][:, None]  # (16, 1) static slice
+        ac_row = table[g[2]][:, None]
+        return jnp.where(is_dc[None, :], dc_row, ac_row)
+
+    out = row_for(groups[-1])
+    for g in reversed(groups[:-1]):
+        out = jnp.where((c < g[0])[None, :], row_for(g), out)
+    return out
+
+
+def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                   data: jax.Array, c: jax.Array, z: jax.Array):
+    """Vectorized one-symbol decode on all lanes.
+
+    Returns (length, sym, run). Mirrors decode_next_symbol
+    (decode_huffman.cu:202-286) including the uint8 index clamp on garbage.
+    """
+    is_dc = z == 0
+
+    # category code: first length l (1..16) whose l-bit prefix <= maxcode[l]
+    shifts = np.uint32(31) - np.arange(16, dtype=np.uint32)
+    codes = (data[None, :] >> shifts[:, None]).astype(jnp.int32)  # (16, S)
+    maxc = _select_rows_t(cfg, arrs.maxcode, c, is_dc)
+    iota16_col = jnp.arange(16, dtype=jnp.int32)[:, None]
+    # l=16 always terminates (:182-186)
+    le = jnp.logical_or(codes <= maxc, iota16_col == 15)
+    l_idx = jnp.argmax(le, axis=0).astype(jnp.int32)  # first match, 0-based
+    cat_len = l_idx + 1
+    # the matched code itself: top cat_len bits of data
+    code = (data >> (np.uint32(32) - cat_len.astype(jnp.uint32))).astype(jnp.int32)
+    vsm_rows = _select_rows_t(cfg, arrs.vsm, c, is_dc)
+    iota16 = jnp.arange(16, dtype=jnp.int32)[:, None]
+    vsm = jnp.sum(jnp.where(iota16 == l_idx[None, :], vsm_rows, 0), axis=0)
+    idx = (vsm + code) & 0xFF
+
+    # symbol value: one-hot over the packed 64-word huffval row, then byte
+    # extract — the row is resolved by the same static chain
+    word_i = idx >> 2
+    byte_i = idx & 3
+    iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
+    oh_w = iota64 == word_i[None, :]
+    groups = cfg.comp_groups
+
+    def hv_row(g):
+        dc_row = ctx.hv_packed[g[1]][:, None]  # (64, 1) static slice
+        ac_row = ctx.hv_packed[g[2]][:, None]
+        return jnp.where(is_dc[None, :], dc_row, ac_row)
+
+    hv = hv_row(groups[-1])
+    for g in reversed(groups[:-1]):
+        hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
+    packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
+    sym_cat = (packed >> ((3 - byte_i) * 8)) & 0xFF
+
+    run_ac = sym_cat >> 4
+    cat_ac = sym_cat & 0xF
+    cat = jnp.where(is_dc, sym_cat, cat_ac)
+    run = jnp.where(
+        is_dc, 0,
+        jnp.where(cat_ac == 0, jnp.where(run_ac == 15, 15, 63 - z), run_ac))
+
+    # value bits (T.81 F.12 EXTEND); shift amounts guarded for garbage cat
+    has_val = cat > 0
+    cat_u = cat.astype(jnp.uint32)
+    off = (data << (cat_len.astype(jnp.uint32) & np.uint32(31)))
+    off = (off >> ((np.uint32(32) - cat_u) & np.uint32(31))).astype(jnp.int32)
+    cat_c = jnp.minimum(cat, 31)
+    half = (jnp.int32(1) << cat_c) >> 1
+    value = jnp.where(off < half, off - (jnp.int32(1) << cat_c) + 1, off)
+    sym = jnp.where(has_val, value, 0)
+    length = cat_len + jnp.where(has_val, cat, 0)
+    return length, sym, run
+
+
+def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                        p0, c0, z0, active0):
+    """Decode each lane's own subsequence from the given start state.
+
+    Per-lane loop until the next symbol would cross the lane's subsequence
+    end (decode_subsequence, decode_huffman.cu:302-394, do_write=false).
+    Returns (p, c, z, n).
+    """
+
+    def body(state):
+        p, c, z, n, active, _ = state
+        data = _load32(ctx, p)
+        length, _, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
+        crosses = p + length > ctx.end_subseq
+        commit = active & ~crosses
+        p = jnp.where(commit, p + length, p)
+        n = jnp.where(commit, n + run + 1, n)
+        z_new = z + run + 1
+        wrap = z_new >= 64
+        c_new = jnp.where(wrap, c + 1, c)
+        c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+        z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+        c = jnp.where(commit, c_new, c)
+        active = commit
+        return p, c, z, n, active, jnp.any(active)
+
+    def cond(state):
+        return state[5]
+
+    n0 = jnp.zeros(cfg.lanes, jnp.int32)
+    active0 = active0 & (p0 < ctx.end_subseq)
+    init = (p0, c0, z0, n0, active0, jnp.any(active0))
+    p, c, z, n, _, _ = jax.lax.while_loop(cond, body, init)
+    return p, c, z, n
+
+
+def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx):
+    """Jacobi fixed-point synchronization of subsequence decoder states.
+
+    Returns converged (p, c, z, n) per subsequence: the state *after*
+    decoding subsequence i, with n the per-subsequence symbol count.
+    """
+    blind_p = ctx.rel * C.SUBSEQ_SIZE_BITS
+    zeros = jnp.zeros(cfg.lanes, jnp.int32)
+
+    p, c, z, n = _decode_subseq_pass(cfg, arrs, ctx, blind_p, zeros, zeros,
+                                     ctx.lane_valid)
+
+    def shift_start(p, c, z):
+        # start of lane i = end state of lane i-1; segment firsts are exact
+        sp = jnp.where(ctx.first_of_seg, blind_p, jnp.roll(p, 1))
+        sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
+        sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+        return sp, sc, sz
+
+    def cond(state):
+        return state[4]
+
+    def body(state):
+        p, c, z, n, _, it = state
+        sp, sc, sz = shift_start(p, c, z)
+        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, ctx, sp, sc, sz,
+                                             ctx.lane_valid)
+        # padded lanes stay frozen so they never delay convergence
+        p2 = jnp.where(ctx.lane_valid, p2, blind_p)
+        c2 = jnp.where(ctx.lane_valid, c2, 0)
+        z2 = jnp.where(ctx.lane_valid, z2, 0)
+        n2 = jnp.where(ctx.lane_valid, n2, 0)
+        changed = jnp.any((p2 != p) | (c2 != c) | (z2 != z))
+        return p2, c2, z2, n2, changed & (it + 1 < cfg.lanes), it + 1
+
+    p, c, z, n, _, _ = jax.lax.while_loop(
+        cond, body, (p, c, z, n, jnp.array(cfg.num_subseq > 1), jnp.int32(0)))
+    return p, c, z, n
+
+
+def symbol_offsets(cfg: ScanConfig, arrs: ScanArrays, n: jax.Array) -> jax.Array:
+    """Per-subsequence exclusive prefix of symbol counts within its segment
+    (the ExclusiveScanByKey of decode_huffman.cu:827-860)."""
+    cum = jnp.cumsum(n)
+    excl = cum - n
+    base = jnp.take(excl, jnp.clip(arrs.seg_first_lane, 0, cfg.lanes - 1))
+    return excl - base
+
+
+def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
+                 chunk: int = 256) -> jax.Array:
+    """Final writing decode: re-decode every subsequence once from its synced
+    start state, scattering nonzero coefficients zig-zag->natural into the
+    stream-order coefficient buffer (decode_write, decode_huffman.cu:627-682).
+
+    Returns int16[total_positions].
+    """
+    lanes = cfg.lanes
+    natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
+
+    total = cfg.total_positions
+    seg = arrs.seg_of_subseq
+    seg_pos_base = seg * cfg.positions_per_seg
+    # per-segment write bound, clamped to the real buffer size (the reference
+    # leaves the last partial segment unclamped, decode_huffman.cu:318-319)
+    bound = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
+
+    # start states: lane 0 of each segment decodes from scratch
+    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
+    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
+    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    pos0 = seg_pos_base + n_off
+
+    out = jnp.zeros(total + 1, jnp.int16)  # +1: slot `total` absorbs drops
+
+    def outer_cond(state):
+        return state[6]
+
+    def outer_body(state):
+        p, c, z, pos, active, out, _ = state
+
+        def inner(k, istate):
+            p, c, z, pos, active, wpos_buf, wval_buf = istate
+            alive = active & (pos < bound)
+            data = _load32(ctx, p)
+            length, sym, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
+            crosses = p + length > ctx.end_subseq
+            commit = alive & ~crosses
+            wpos = pos + run
+            do_write = commit & (sym != 0) & (wpos < total)
+            du = wpos // C.DATA_UNIT_SIZE
+            iz = wpos % C.DATA_UNIT_SIZE
+            # zig-zag -> natural via one-hot over the 64-entry table
+            oh = jnp.arange(64, dtype=jnp.int32)[:, None] == iz[None, :]
+            nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
+            tgt = du * C.DATA_UNIT_SIZE + nat
+            wpos_buf = wpos_buf.at[:, k].set(jnp.where(do_write, tgt, total))
+            wval_buf = wval_buf.at[:, k].set(
+                jnp.where(do_write, sym, 0).astype(jnp.int16))
+            p = jnp.where(commit, p + length, p)
+            pos = jnp.where(commit, wpos + 1, pos)
+            z_new = z + run + 1
+            wrap = z_new >= 64
+            c_new = jnp.where(wrap, c + 1, c)
+            c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+            z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+            c = jnp.where(commit, c_new, c)
+            return p, c, z, pos, commit, wpos_buf, wval_buf
+
+        wpos_buf = jnp.full((lanes, chunk), total, jnp.int32)
+        wval_buf = jnp.zeros((lanes, chunk), jnp.int16)
+        p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
+            0, chunk, inner, (p, c, z, pos, active, wpos_buf, wval_buf))
+        out = out.at[wpos_buf.reshape(-1)].set(
+            wval_buf.reshape(-1), mode="drop", unique_indices=False)
+        return p, c, z, pos, active, out, jnp.any(active & (pos < bound))
+
+    active0 = ctx.lane_valid & (pos0 < bound) & (sp < ctx.end_subseq)
+    state = (sp, sc, sz, pos0, active0, out, jnp.any(active0))
+    _, _, _, _, _, out, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+    return out[:total]
+
+
+def decode_scan(cfg: ScanConfig, arrs: ScanArrays) -> jax.Array:
+    """Full entropy decode of one scan: sync, offsets, write.
+
+    Returns int16[total_positions] stream-order coefficients (natural order
+    within each data unit, DC still difference-coded).
+    """
+    ctx = make_ctx(cfg, arrs)
+    p, c, z, n = sync_states(cfg, arrs, ctx)
+    n_off = symbol_offsets(cfg, arrs, n)
+    return decode_write(cfg, arrs, ctx, p, c, z, n_off)

