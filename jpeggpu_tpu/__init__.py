@@ -25,9 +25,22 @@ __all__ = [
     "InvalidArgument",
     "InvalidJpeg",
     "JpegError",
+    "JpegStream",
     "NotSupported",
     "Status",
+    "Decoder",
+    "ImgInfo",
+    "decode",
+    "decode_rgb",
     "get_status_string",
-    "JpegStream",
     "parse",
 ]
+
+
+def __getattr__(name):
+    # lazy: importing the API pulls in jax; keep host-only imports light
+    if name in ("Decoder", "ImgInfo", "decode", "decode_rgb"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

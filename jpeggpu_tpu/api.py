@@ -1,0 +1,165 @@
+"""Public decoder API: the five-phase protocol of the reference C API.
+
+Maps the reference's contract (include/jpeggpu/jpeggpu.h:38-111) onto the
+XLA execution model:
+
+  reference                      here
+  ---------                      ----
+  jpeggpu_decoder_startup        Decoder()
+  _parse_header                  Decoder.parse_header(data) -> ImgInfo
+  _get_buffer_size               Decoder.get_buffer_size() -> bytes (from
+                                 the compiled executable's memory analysis)
+  _transfer                      Decoder.transfer()  (async device_put of
+                                 scan bytes, tables, segment arrays)
+  _decode                        Decoder.decode() -> planes
+  _cleanup                       Decoder.cleanup() / context manager
+
+Properties preserved in spirit: a reusable handle; no hidden blocking
+between phases (transfer and decode dispatch asynchronously; results
+materialize on read); independent handles are independent (thread safety by
+isolation); a runtime logging toggle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import constants as C
+from .errors import InvalidArgument
+from .pipeline import (
+    DecodePlan,
+    build_inputs,
+    build_plan,
+    get_compiled,
+)
+from .reader import parse
+from .utils.color import to_rgb
+
+
+@dataclasses.dataclass
+class ImgInfo:
+    """Mirror of jpeggpu_img_info (jpeggpu.h:73-80)."""
+
+    sizes_x: List[int]
+    sizes_y: List[int]
+    num_components: int
+    subsampling: List[Tuple[int, int]]
+
+
+class Decoder:
+    """Reusable decoder handle (analog of jpeggpu_decoder_t)."""
+
+    def __init__(self):
+        self._logging = False
+        self._plan: Optional[DecodePlan] = None
+        self._data: Optional[bytes] = None
+        self._staged = None
+        self._device_inputs = None
+
+    # -- phase 0: logging toggle (jpeggpu.h:61-62) --
+    def set_logging(self, enabled: bool) -> None:
+        self._logging = bool(enabled)
+
+    def _log(self, msg: str) -> None:
+        if self._logging:
+            print(msg, flush=True)
+
+    # -- phase 1: host-only header parse (jpeggpu.h:81-85) --
+    def parse_header(self, data: bytes) -> ImgInfo:
+        stream = parse(data, log=self._log if self._logging else None)
+        self._plan = build_plan(stream)
+        self._data = data
+        self._staged = None
+        self._device_inputs = None
+        comps = stream.components
+        return ImgInfo(
+            sizes_x=[c.size_x for c in comps],
+            sizes_y=[c.size_y for c in comps],
+            num_components=stream.num_components,
+            subsampling=[(c.ss_x, c.ss_y) for c in comps],
+        )
+
+    def _require_plan(self) -> DecodePlan:
+        if self._plan is None:
+            raise InvalidArgument("parse_header must be called first")
+        return self._plan
+
+    # -- phase 2: device memory accounting (jpeggpu.h:87-88) --
+    def get_buffer_size(self) -> int:
+        """Temporary device memory the compiled decode uses, in bytes.
+
+        Under XLA the compiler owns buffer planning, so this is reported
+        from the compiled executable rather than reserved by the caller —
+        the contract it preserves is "memory is knowable from the header".
+        """
+        plan = self._require_plan()
+        inputs = self._host_inputs()
+        exe = get_compiled(plan, inputs, True)
+        try:
+            return int(exe.memory_analysis().temp_size_in_bytes)
+        except Exception:
+            return 0
+
+    def _host_inputs(self):
+        if self._staged is None:
+            self._staged = build_inputs(self._data, self._require_plan())
+        return self._staged
+
+    # -- phase 3: async host->device staging (jpeggpu.h:90-93) --
+    def transfer(self) -> None:
+        import jax
+
+        inputs = self._host_inputs()
+        self._device_inputs = jax.device_put(
+            {"scans": inputs["scans"], "qtables": inputs["qtables"]})
+
+    # -- phase 4: decode (jpeggpu.h:102-109) --
+    def decode(self, *, with_idct: bool = True) -> List[np.ndarray]:
+        """Run the device pipeline; returns per-component planes (uint8,
+        cropped to component sizes — planar, possibly subsampled, exactly
+        like the reference output contract jpeggpu.h:95-100)."""
+        plan = self._require_plan()
+        inputs = self._host_inputs()
+        if self._device_inputs is None:
+            self.transfer()
+        exe = get_compiled(plan, inputs, with_idct)
+        out = exe(self._device_inputs["scans"], self._device_inputs["qtables"])
+        return [np.asarray(p) for p in out]
+
+    def decode_rgb(self) -> np.ndarray:
+        """Convenience: decode + chroma upsample + YCbCr->RGB (host side,
+        mirroring example/example_tool.c + util/util.h)."""
+        planes = self.decode()
+        stream = self._require_plan().stream
+        sampling = [(c.ss_x, c.ss_y) for c in stream.components]
+        return to_rgb(planes, sampling)
+
+    # -- phase 5: cleanup (jpeggpu.h:57-58) --
+    def cleanup(self) -> None:
+        self._plan = None
+        self._data = None
+        self._staged = None
+        self._device_inputs = None
+
+    def __enter__(self) -> "Decoder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.cleanup()
+
+
+def decode(data: bytes) -> List[np.ndarray]:
+    """One-shot decode to planar components."""
+    with Decoder() as d:
+        d.parse_header(data)
+        return d.decode()
+
+
+def decode_rgb(data: bytes) -> np.ndarray:
+    """One-shot decode to interleaved RGB."""
+    with Decoder() as d:
+        d.parse_header(data)
+        return d.decode_rgb()

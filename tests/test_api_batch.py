@@ -1,0 +1,122 @@
+"""Five-phase API contract + batched/sharded decode tests."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jpeggpu_tpu import Decoder, decode, decode_rgb, golden
+from jpeggpu_tpu.encoder import EncodeSpec, encode
+from jpeggpu_tpu.errors import InvalidArgument
+from jpeggpu_tpu.parallel import BatchDecoder, decode_batch, make_mesh
+
+
+def test_five_phase_protocol(test_image):
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    with Decoder() as d:
+        info = d.parse_header(data)
+        assert info.num_components == 3
+        assert info.sizes_x == [67, 34, 34]
+        assert info.sizes_y == [45, 23, 23]
+        assert info.subsampling[0] == (2, 2)
+        size = d.get_buffer_size()
+        assert size >= 0  # knowable from the header (may be 0 if backend
+        # does not expose memory analysis)
+        d.transfer()
+        planes = d.decode()
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_decode_without_parse_raises():
+    with pytest.raises(InvalidArgument):
+        Decoder().decode()
+
+
+def test_handle_reuse(test_image):
+    d = Decoder()
+    for q in (50, 90):
+        data = encode(test_image, EncodeSpec(quality=q))
+        d.parse_header(data)
+        planes = d.decode()
+        ref = golden.decode(data)
+        assert all(np.array_equal(a, b) for a, b in zip(ref, planes))
+    d.cleanup()
+
+
+def test_decode_rgb(test_image):
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    rgb = decode_rgb(data)
+    assert rgb.shape == (45, 67, 3)
+    # sanity: close-ish to the original image
+    err = np.abs(rgb.astype(int) - test_image.astype(int)).mean()
+    assert err < 16, err
+
+
+def test_batch_same_geometry(test_image):
+    datas = [encode(np.roll(test_image, i, axis=0),
+                    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+             for i in range(3)]
+    out = decode_batch(datas)
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_batch_mixed_geometry(test_image):
+    datas = [
+        encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)])),
+        encode(test_image[..., 0]),
+        encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                      quality=40)),
+    ]
+    out = decode_batch(datas)
+    assert len(out[1]) == 1  # grayscale
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_sharded_batch_8_devices(test_image):
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 fake CPU devices"
+    mesh = make_mesh(devices[:8])
+    datas = [encode(np.roll(test_image, i, axis=1),
+                    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+             for i in range(8)]
+    out = BatchDecoder(mesh=mesh).decode(datas)
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_sharded_batch_padding(test_image):
+    # 5 images on an 8-device mesh: pads to 8, results unaffected
+    mesh = make_mesh(jax.devices()[:8])
+    datas = [encode(np.roll(test_image, i, axis=0),
+                    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+             for i in range(5)]
+    out = BatchDecoder(mesh=mesh).decode(datas)
+    assert len(out) == 5
+    ref = golden.decode(datas[2])
+    assert all(np.array_equal(a, b) for a, b in zip(ref, out[2]))
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (40, 56)
+
+
+def test_graft_entry_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
