@@ -97,6 +97,7 @@ class _Ctx:
     rel: jax.Array  # int32[lanes] subsequence index within segment
     lane_valid: jax.Array  # bool[lanes]
     first_of_seg: jax.Array  # bool[lanes]
+    lane_word0: jax.Array  # int32[lanes] absolute index of own word 0
 
 
 def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
@@ -124,6 +125,22 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
         rel=rel,
         lane_valid=lane < cfg.num_subseq,
         first_of_seg=rel == 0,
+        lane_word0=lane * C.CHUNK_SIZE_WORDS,
+    )
+
+
+def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
+    """Compact a context to the given lane subset (for frontier rounds)."""
+    return _Ctx(
+        window=ctx.window[:, idx],
+        hv_packed=ctx.hv_packed,
+        word_end=ctx.word_end[idx],
+        seg_base_bits=ctx.seg_base_bits[idx],
+        end_subseq=ctx.end_subseq[idx],
+        rel=ctx.rel[idx],
+        lane_valid=valid,
+        first_of_seg=ctx.first_of_seg[idx],
+        lane_word0=ctx.lane_word0[idx],
     )
 
 
@@ -131,13 +148,11 @@ def _load32(ctx: _Ctx, p: jax.Array) -> jax.Array:
     """Next 32 bits MSB-aligned at segment-relative bit p, zero past the
     segment end (reference reader semantics,
     decode_huffman_reader.hpp:72-112). Pure one-hot selects — no gather."""
-    lanes = ctx.window.shape[1]
     abs_bit = ctx.seg_base_bits + p
     w = abs_bit >> 5
     b = (abs_bit & 31).astype(jnp.uint32)
-    lane_word0 = jnp.arange(lanes, dtype=jnp.int32) * C.CHUNK_SIZE_WORDS
     # index into the 34-word window; 0 is the previous lane's last word
-    w_rel = w - lane_word0 + 1
+    w_rel = w - ctx.lane_word0 + 1
     iota = jnp.arange(34, dtype=jnp.int32)[:, None]
     oh0 = iota == w_rel[None, :]
     oh1 = iota == (w_rel + 1)[None, :]
@@ -260,24 +275,38 @@ def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     def cond(state):
         return state[5]
 
-    n0 = jnp.zeros(cfg.lanes, jnp.int32)
+    n0 = jnp.zeros(p0.shape, jnp.int32)
     active0 = active0 & (p0 < ctx.end_subseq)
     init = (p0, c0, z0, n0, active0, jnp.any(active0))
     p, c, z, n, _, _ = jax.lax.while_loop(cond, body, init)
     return p, c, z, n
 
 
-def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx):
-    """Jacobi fixed-point synchronization of subsequence decoder states.
+def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                frontier_width: int = 2048):
+    """Fixed-point synchronization of subsequence decoder states.
+
+    Round 0 decodes every subsequence speculatively ("blind"); round 1
+    re-decodes every subsequence from its predecessor's end state (almost
+    all lanes self-synchronize here). Remaining mis-synced chains propagate
+    one subsequence per round, so later rounds touch only the *frontier* —
+    lanes whose predecessor changed last round. Those are compacted into a
+    fixed `frontier_width` set so long chains cost narrow rounds instead of
+    full-width passes; if a frontier ever exceeds the width, that round
+    falls back to a full-width pass.
 
     Returns converged (p, c, z, n) per subsequence: the state *after*
     decoding subsequence i, with n the per-subsequence symbol count.
     """
+    lanes = cfg.lanes
+    K = min(frontier_width, lanes)
     blind_p = ctx.rel * C.SUBSEQ_SIZE_BITS
-    zeros = jnp.zeros(cfg.lanes, jnp.int32)
+    zeros = jnp.zeros(lanes, jnp.int32)
 
     p, c, z, n = _decode_subseq_pass(cfg, arrs, ctx, blind_p, zeros, zeros,
                                      ctx.lane_valid)
+    if cfg.num_subseq <= 1:
+        return p, c, z, n
 
     def shift_start(p, c, z):
         # start of lane i = end state of lane i-1; segment firsts are exact
@@ -286,24 +315,67 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx):
         sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
         return sp, sc, sz
 
+    def freeze(p2, c2, z2, n2):
+        # padded lanes stay frozen so they never delay convergence
+        return (jnp.where(ctx.lane_valid, p2, blind_p),
+                jnp.where(ctx.lane_valid, c2, 0),
+                jnp.where(ctx.lane_valid, z2, 0),
+                jnp.where(ctx.lane_valid, n2, 0))
+
+    # round 1: full width
+    sp, sc, sz = shift_start(p, c, z)
+    p2, c2, z2, n2 = freeze(*_decode_subseq_pass(cfg, arrs, ctx, sp, sc, sz,
+                                                 ctx.lane_valid))
+    delta = (p2 != p) | (c2 != c) | (z2 != z)
+    p, c, z, n = p2, c2, z2, n2
+
     def cond(state):
         return state[4]
 
-    def body(state):
-        p, c, z, n, _, it = state
+    def full_round(p, c, z, n):
         sp, sc, sz = shift_start(p, c, z)
-        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, ctx, sp, sc, sz,
-                                             ctx.lane_valid)
-        # padded lanes stay frozen so they never delay convergence
-        p2 = jnp.where(ctx.lane_valid, p2, blind_p)
-        c2 = jnp.where(ctx.lane_valid, c2, 0)
-        z2 = jnp.where(ctx.lane_valid, z2, 0)
-        n2 = jnp.where(ctx.lane_valid, n2, 0)
-        changed = jnp.any((p2 != p) | (c2 != c) | (z2 != z))
-        return p2, c2, z2, n2, changed & (it + 1 < cfg.lanes), it + 1
+        p2, c2, z2, n2 = freeze(*_decode_subseq_pass(
+            cfg, arrs, ctx, sp, sc, sz, ctx.lane_valid))
+        delta = (p2 != p) | (c2 != c) | (z2 != z)
+        return p2, c2, z2, n2, delta
 
-    p, c, z, n, _, _ = jax.lax.while_loop(
-        cond, body, (p, c, z, n, jnp.array(cfg.num_subseq > 1), jnp.int32(0)))
+    def compact_round(p, c, z, n, frontier):
+        idx_raw = jnp.nonzero(frontier, size=K, fill_value=-1)[0].astype(jnp.int32)
+        valid = idx_raw >= 0
+        idx = jnp.clip(idx_raw, 0, lanes - 1)
+        cctx = gather_ctx(ctx, idx, valid)
+        prev = jnp.clip(idx - 1, 0, lanes - 1)
+        sp = p[prev]
+        sc = c[prev]
+        sz = z[prev]
+        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx, sp, sc, sz, valid)
+        dp = valid & (p2 != p[idx])
+        dc_ = valid & (c2 != c[idx])
+        dz = valid & (z2 != z[idx])
+        d_comp = dp | dc_ | dz
+        upd = lambda full, comp: full.at[idx].set(
+            jnp.where(valid, comp, full[idx]), mode="drop")
+        p = upd(p, p2)
+        c = upd(c, c2)
+        z = upd(z, z2)
+        n = upd(n, n2)
+        delta = jnp.zeros(lanes, jnp.bool_).at[idx].set(d_comp, mode="drop")
+        return p, c, z, n, delta
+
+    def body(state):
+        p, c, z, n, _, delta, it = state
+        frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+        cnt = jnp.sum(frontier.astype(jnp.int32))
+        p, c, z, n, delta = jax.lax.cond(
+            cnt > K,
+            lambda a: full_round(a[0], a[1], a[2], a[3]),
+            lambda a: compact_round(*a),
+            (p, c, z, n, frontier))
+        go = jnp.any(delta) & (it + 1 < lanes)
+        return p, c, z, n, go, delta, it + 1
+
+    state = (p, c, z, n, jnp.any(delta), delta, jnp.int32(0))
+    p, c, z, n, _, _, _ = jax.lax.while_loop(cond, body, state)
     return p, c, z, n
 
 

@@ -53,6 +53,12 @@ class ScanPlanStatic:
     # per scan component: (component_idx, off_in_mcu, ss_eff_x, ss_eff_y,
     #                      data_size_x, data_size_y, qtable_idx)
     comps: Tuple[Tuple[int, int, int, int, int, int, int], ...]
+    # If true, destuffing runs on the host (native C++ with numpy fallback)
+    # and the staged input is the destuffed word stream; if false, raw scan
+    # bytes are staged and destuffed on device (ops/destuff.py). Host is the
+    # production default: byte-granular scatter is not TPU-native, while the
+    # host pass pipelines with the previous image's device decode.
+    host_destuff: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,7 +74,7 @@ class DecodePlan:
     stream: JpegStream
 
 
-def build_plan(stream: JpegStream) -> DecodePlan:
+def build_plan(stream: JpegStream, *, host_destuff: bool = True) -> DecodePlan:
     scans = []
     for scan in stream.scans:
         lanes = _bucket(scan.num_subsequences)
@@ -102,6 +108,7 @@ def build_plan(stream: JpegStream) -> DecodePlan:
             num_mcus_x=scan.num_mcus_x,
             num_mcus_y=scan.num_mcus_y,
             comps=tuple(comps),
+            host_destuff=host_destuff,
         ))
     sig = PlanSignature(
         scans=tuple(scans),
@@ -123,22 +130,33 @@ def pack_huff_tables(scan: Scan) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return maxcode, vsm, huffval.reshape(-1)
 
 
+def _destuff_host(buf: np.ndarray, scan: Scan, lanes: int) -> np.ndarray:
+    """Host destuff -> big-endian uint32 words, padded to `lanes`
+    subsequences (native C++ with numpy fallback)."""
+    from . import native
+    from .golden import destuff_scan_host
+
+    body = buf[scan.begin:scan.end]
+    out = native.destuff_host(body, scan.segments[:, 0],
+                              scan.num_subsequences)
+    if out is None:
+        out = destuff_scan_host(buf, scan)
+    words = np.frombuffer(out.tobytes(), dtype=">u4").astype(np.uint32)
+    full = np.zeros(lanes * C.CHUNK_SIZE_WORDS, np.uint32)
+    full[:len(words)] = words
+    return full
+
+
 def build_scan_inputs(buf: np.ndarray, stream: JpegStream, scan: Scan,
                       sp: ScanPlanStatic) -> Dict[str, np.ndarray]:
     """Numpy arrays for one scan, padded to the plan's bucket shapes.
 
     This is the analog of the reference `transfer` phase
-    (decoder.cpp:159-211): raw scan bytes, segment table and Huffman tables,
+    (decoder.cpp:159-211): scan data, segment table and Huffman tables,
     staged once per image.
     """
     lanes = sp.cfg.lanes
     nseg_p = sp.num_segments_padded
-    raw = np.zeros(sp.scan_bytes_padded, np.uint8)
-    body = buf[scan.begin:scan.end]
-    raw[:len(body)] = body
-
-    seg_sub_offset = np.full(nseg_p, scan.num_subsequences, np.int32)
-    seg_sub_offset[:scan.num_segments] = scan.segments[:, 0]
     counts = scan.segments[:, 1]
     seg_of = np.repeat(np.arange(scan.num_segments, dtype=np.int32), counts)
     seg_of_subseq = np.full(lanes, max(scan.num_segments - 1, 0), np.int32)
@@ -152,9 +170,7 @@ def build_scan_inputs(buf: np.ndarray, stream: JpegStream, scan: Scan,
         seg_num_subseq[len(seg_of):] = scan.segments[-1, 1]
 
     maxcode, vsm, huffval = pack_huff_tables(scan)
-    return dict(
-        raw=raw,
-        seg_sub_offset=seg_sub_offset,
+    out = dict(
         seg_of_subseq=seg_of_subseq,
         seg_first_lane=seg_first_lane,
         seg_num_subseq=seg_num_subseq,
@@ -162,6 +178,17 @@ def build_scan_inputs(buf: np.ndarray, stream: JpegStream, scan: Scan,
         vsm=vsm,
         huffval=huffval,
     )
+    if sp.host_destuff:
+        out["words"] = _destuff_host(buf, scan, lanes)
+    else:
+        raw = np.zeros(sp.scan_bytes_padded, np.uint8)
+        body = buf[scan.begin:scan.end]
+        raw[:len(body)] = body
+        seg_sub_offset = np.full(nseg_p, scan.num_subsequences, np.int32)
+        seg_sub_offset[:scan.num_segments] = scan.segments[:, 0]
+        out["raw"] = raw
+        out["seg_sub_offset"] = seg_sub_offset
+    return out
 
 
 def build_inputs(data: bytes | np.ndarray, plan: DecodePlan) -> Dict:
@@ -182,7 +209,10 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
     qidx: Dict[int, int] = {}
     for sp, inp in zip(signature.scans, scan_inputs):
         cfg = sp.cfg
-        words = destuff_scan(inp["raw"], inp["seg_sub_offset"], cfg.lanes)
+        if sp.host_destuff:
+            words = inp["words"]
+        else:
+            words = destuff_scan(inp["raw"], inp["seg_sub_offset"], cfg.lanes)
         arrs = ScanArrays(
             words=words,
             seg_of_subseq=inp["seg_of_subseq"],

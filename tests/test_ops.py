@@ -16,8 +16,8 @@ from jpeggpu_tpu.pipeline import build_inputs, build_plan
 from jpeggpu_tpu.reader import parse
 
 
-def _setup(data):
-    plan = build_plan(parse(data))
+def _setup(data, host_destuff=True):
+    plan = build_plan(parse(data), host_destuff=host_destuff)
     inputs = build_inputs(data, plan)
     return plan, inputs
 
@@ -25,7 +25,7 @@ def _setup(data):
 def test_destuff_matches_host(test_image):
     data = encode(test_image, EncodeSpec(
         sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2))
-    plan, inputs = _setup(data)
+    plan, inputs = _setup(data, host_destuff=False)
     scan = plan.stream.scans[0]
     sp = plan.signature.scans[0]
     inp = inputs["scans"][0]
@@ -46,7 +46,7 @@ def test_destuff_stuffed_bytes():
     img = rng.integers(0, 255, (32, 32), np.uint8)
     data = encode(img, EncodeSpec(quality=99))
     assert b"\xff\x00" in data[2:-2]  # the interesting case is present
-    plan, inputs = _setup(data)
+    plan, inputs = _setup(data, host_destuff=False)
     scan = plan.stream.scans[0]
     sp = plan.signature.scans[0]
     inp = inputs["scans"][0]
@@ -57,6 +57,32 @@ def test_destuff_stuffed_bytes():
     q = host.reshape(-1, 4).astype(np.uint32)
     host_words = (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
     assert np.array_equal(w, host_words)
+
+
+def test_native_destuff_matches_numpy(test_image):
+    from jpeggpu_tpu import native
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3))
+    plan, _ = _setup(data)
+    scan = plan.stream.scans[0]
+    buf = np.frombuffer(data, np.uint8)
+    ref = golden.destuff_scan_host(buf, scan)
+    out = native.destuff_host(buf[scan.begin:scan.end], scan.segments[:, 0],
+                              scan.num_subsequences)
+    if out is None:
+        pytest.skip("native toolchain unavailable")
+    assert np.array_equal(out, ref)
+
+
+def test_device_destuff_pipeline_bitexact(test_image):
+    """Full pipeline with on-device destuffing (host_destuff=False)."""
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2))
+    plan = build_plan(parse(data), host_destuff=False)
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
 def test_sync_states_match_sequential(test_image):
@@ -70,9 +96,8 @@ def test_sync_states_match_sequential(test_image):
     inp = inputs["scans"][0]
 
     def f(inp):
-        words = destuff_scan(inp["raw"], inp["seg_sub_offset"], cfg.lanes)
         arrs = H.ScanArrays(
-            words=words, seg_of_subseq=inp["seg_of_subseq"],
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
             seg_first_lane=inp["seg_first_lane"],
             seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
             vsm=inp["vsm"], huffval=inp["huffval"])
