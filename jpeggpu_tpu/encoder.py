@@ -100,6 +100,9 @@ class EncodeSpec:
     table_ids: Optional[Sequence[tuple[int, int]]] = None
     # per component quantization table id; default 0 for comp0 else 1
     qtable_ids: Optional[Sequence[int]] = None
+    # override Huffman tables: {(class, id): (counts[16], values)} — class
+    # 0=DC, 1=AC; used by tests to exercise unusual (e.g. saturated) tables
+    huff_overrides: Optional[dict] = None
 
 
 def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
@@ -141,6 +144,8 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         (C.HUFF_DC, 2): STD_DC_LUMA, (C.HUFF_AC, 2): STD_AC_LUMA,
         (C.HUFF_DC, 3): STD_DC_CHROMA, (C.HUFF_AC, 3): STD_AC_CHROMA,
     }
+    if spec.huff_overrides:
+        huff_specs.update(spec.huff_overrides)
     used_huff = sorted({(C.HUFF_DC, d) for d, _ in table_ids} |
                        {(C.HUFF_AC, a) for _, a in table_ids})
     encoders = {key: _huff_encode_table(*huff_specs[key]) for key in used_huff}

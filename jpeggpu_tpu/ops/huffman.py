@@ -55,6 +55,9 @@ class ScanConfig:
     # per scan component: (end_slot_exclusive, dc_table_slot, ac_table_slot);
     # table slots index the packed 8-table arrays (= id*2 + class)
     comp_groups: Tuple[Tuple[int, int, int], ...]
+    # canonical-limit fast symbol decode; host parser sets this False when a
+    # table's code space saturates (tables.py: HuffmanTable.saturated)
+    fast_tables: bool = True
 
     @property
     def total_positions(self) -> int:
@@ -98,6 +101,11 @@ class _Ctx:
     lane_valid: jax.Array  # bool[lanes]
     first_of_seg: jax.Array  # bool[lanes]
     lane_word0: jax.Array  # int32[lanes] absolute index of own word 0
+    # fast-path tables (derived from maxcode/vsm/huffval, see make_ctx):
+    limits: jax.Array  # uint32[8,16] running-max first-code-beyond-length-l
+    dvsm: jax.Array  # int32[8,16] vsm[l+1]-vsm[l] deltas
+    vsm0: jax.Array  # int32[8] vsm at length 1
+    hv16: jax.Array  # bfloat16[8,16,16] huffval as 16x16 for MXU lookup
 
 
 def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
@@ -114,6 +122,19 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
     hv_packed = (hv4[..., 0] << 24) | (hv4[..., 1] << 16) | \
         (hv4[..., 2] << 8) | hv4[..., 3]
 
+    # fast-path derived tables (all tiny; traced once per executable):
+    # limits[t, j] = first 32-bit-left-aligned value whose code is longer
+    # than j+1 bits; running max makes empty lengths inherit so that
+    # `data >= limits[j]` is exactly "code length > j+1". Safe from uint32
+    # overflow because saturated tables are routed to the slow path.
+    lrange = np.arange(16, dtype=np.uint32)
+    raw_lim = (arrs.maxcode + 1).astype(jnp.uint32) << (np.uint32(31) - lrange)[None, :]
+    limits = jax.lax.cummax(raw_lim, axis=1)
+    vsm = arrs.vsm
+    dvsm = jnp.concatenate([vsm[:, 1:] - vsm[:, :-1],
+                            jnp.zeros((C.MAX_HUFF_PER_SCAN, 1), jnp.int32)], axis=1)
+    hv16 = arrs.huffval.reshape(C.MAX_HUFF_PER_SCAN, 16, 16).astype(jnp.bfloat16)
+
     lane = jnp.arange(lanes, dtype=jnp.int32)
     rel = lane - arrs.seg_first_lane
     return _Ctx(
@@ -126,6 +147,10 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
         lane_valid=lane < cfg.num_subseq,
         first_of_seg=rel == 0,
         lane_word0=lane * C.CHUNK_SIZE_WORDS,
+        limits=limits,
+        dvsm=dvsm,
+        vsm0=vsm[:, 0],
+        hv16=hv16,
     )
 
 
@@ -141,6 +166,10 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
         lane_valid=valid,
         first_of_seg=ctx.first_of_seg[idx],
         lane_word0=ctx.lane_word0[idx],
+        limits=ctx.limits,
+        dvsm=ctx.dvsm,
+        vsm0=ctx.vsm0,
+        hv16=ctx.hv16,
     )
 
 
@@ -182,15 +211,9 @@ def _select_rows_t(cfg: ScanConfig, table: jax.Array, c: jax.Array,
     return out
 
 
-def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
-                   data: jax.Array, c: jax.Array, z: jax.Array):
-    """Vectorized one-symbol decode on all lanes.
-
-    Returns (length, sym, run). Mirrors decode_next_symbol
-    (decode_huffman.cu:202-286) including the uint8 index clamp on garbage.
-    """
-    is_dc = z == 0
-
+def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                   data: jax.Array, c: jax.Array, is_dc: jax.Array):
+    """maxcode-comparison category decode (handles saturated tables)."""
     # category code: first length l (1..16) whose l-bit prefix <= maxcode[l]
     shifts = np.uint32(31) - np.arange(16, dtype=np.uint32)
     codes = (data[None, :] >> shifts[:, None]).astype(jnp.int32)  # (16, S)
@@ -203,12 +226,10 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     # the matched code itself: top cat_len bits of data
     code = (data >> (np.uint32(32) - cat_len.astype(jnp.uint32))).astype(jnp.int32)
     vsm_rows = _select_rows_t(cfg, arrs.vsm, c, is_dc)
-    iota16 = jnp.arange(16, dtype=jnp.int32)[:, None]
-    vsm = jnp.sum(jnp.where(iota16 == l_idx[None, :], vsm_rows, 0), axis=0)
+    vsm = jnp.sum(jnp.where(iota16_col == l_idx[None, :], vsm_rows, 0), axis=0)
     idx = (vsm + code) & 0xFF
 
-    # symbol value: one-hot over the packed 64-word huffval row, then byte
-    # extract — the row is resolved by the same static chain
+    # symbol value: one-hot over the packed 64-word huffval row + byte extract
     word_i = idx >> 2
     byte_i = idx & 3
     iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
@@ -225,6 +246,84 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
     packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
     sym_cat = (packed >> ((3 - byte_i) * 8)) & 0xFF
+    return cat_len, sym_cat
+
+
+def _category_fast(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                   data: jax.Array, c: jax.Array, is_dc: jax.Array):
+    """Canonical-limit category decode (exact for unsaturated tables).
+
+    `data >= limits[j]` is precisely "code longer than j+1 bits" (canonical
+    code space below each boundary is contiguous), so the length is a popcount
+    of limit comparisons, the valptr-mincode offset telescopes along the same
+    mask, and the symbol byte comes from a 16x16 MXU lookup.
+    """
+    groups = cfg.comp_groups
+
+    def rows(tbl):
+        def row_for(g):
+            return jnp.where(is_dc[None, :], tbl[g[1]][:, None],
+                             tbl[g[2]][:, None])
+        out = row_for(groups[-1])
+        for g in reversed(groups[:-1]):
+            out = jnp.where((c < g[0])[None, :], row_for(g), out)
+        return out
+
+    lim = rows(ctx.limits)  # (16,S) uint32; row j <-> length j+1
+    ge = data[None, :] >= lim
+    ge15 = ge[:15]
+    cat_len = 1 + jnp.sum(ge15.astype(jnp.int32), axis=0)
+    code = (data >> (np.uint32(32) - cat_len.astype(jnp.uint32))).astype(jnp.int32)
+    dv = rows(ctx.dvsm)[:15]
+    vsm0 = _select_scalar_t(cfg, ctx.vsm0, c, is_dc)
+    vsm = vsm0 + jnp.sum(jnp.where(ge15, dv, 0), axis=0)
+    idx = (vsm + code) & 0xFF
+
+    hi = idx >> 4
+    lo = idx & 15
+    iota16_col = jnp.arange(16, dtype=jnp.int32)[:, None]
+    oh_lo = (iota16_col == lo[None, :]).astype(jnp.bfloat16)  # (16,S)
+    used = []
+    for g in groups:
+        for s in (g[1], g[2]):
+            if s not in used:
+                used.append(s)
+    # tmp[t][h, s] = huffval[t][h*16 + lo[s]]
+    tmps = {t: jnp.dot(ctx.hv16[t], oh_lo,
+                       preferred_element_type=jnp.float32) for t in used}
+
+    def tmp_for(g):
+        return jnp.where(is_dc[None, :], tmps[g[1]], tmps[g[2]])
+
+    tmp = tmp_for(groups[-1])
+    for g in reversed(groups[:-1]):
+        tmp = jnp.where((c < g[0])[None, :], tmp_for(g), tmp)
+    oh_hi = iota16_col == hi[None, :]
+    sym_cat = jnp.sum(jnp.where(oh_hi, tmp, 0.0), axis=0).astype(jnp.int32)
+    return cat_len, sym_cat
+
+
+def _select_scalar_t(cfg: ScanConfig, tbl: jax.Array, c: jax.Array,
+                     is_dc: jax.Array) -> jax.Array:
+    groups = cfg.comp_groups
+    out = jnp.where(is_dc, tbl[groups[-1][1]], tbl[groups[-1][2]])
+    for g in reversed(groups[:-1]):
+        out = jnp.where(c < g[0], jnp.where(is_dc, tbl[g[1]], tbl[g[2]]), out)
+    return out
+
+
+def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                   data: jax.Array, c: jax.Array, z: jax.Array):
+    """Vectorized one-symbol decode on all lanes.
+
+    Returns (length, sym, run). Mirrors decode_next_symbol
+    (decode_huffman.cu:202-286) including the uint8 index clamp on garbage.
+    """
+    is_dc = z == 0
+    if cfg.fast_tables:
+        cat_len, sym_cat = _category_fast(cfg, arrs, ctx, data, c, is_dc)
+    else:
+        cat_len, sym_cat = _category_slow(cfg, arrs, ctx, data, c, is_dc)
 
     run_ac = sym_cat >> 4
     cat_ac = sym_cat & 0xF

@@ -92,6 +92,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True) -> DecodePlan:
             comp_groups.append((end,
                                 sc.dc_table_id * C.HUFF_COUNT + C.HUFF_DC,
                                 sc.ac_table_id * C.HUFF_COUNT + C.HUFF_AC))
+        used_slots = {g[1] for g in comp_groups} | {g[2] for g in comp_groups}
+        fast_tables = not any(scan.huff_tables[s].saturated for s in used_slots)
         cfg = ScanConfig(
             num_subseq=scan.num_subsequences,
             lanes=lanes,
@@ -100,6 +102,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True) -> DecodePlan:
             mcus_per_seg=num_mcus_in_segment(stream, scan),
             total_mcus=scan.num_mcus,
             comp_groups=tuple(comp_groups),
+            fast_tables=fast_tables,
         )
         scans.append(ScanPlanStatic(
             cfg=cfg,

@@ -41,6 +41,11 @@ class HuffmanTable:
     lut_nbits: np.ndarray
     # number of real symbols
     num_symbols: int = 0
+    # True if the code space completes at some length (maxcode == 2^l - 1);
+    # such tables (never emitted by practical encoders, T.81 K.2 reserves
+    # the all-ones pattern) force the device decoder onto its
+    # maxcode-comparison slow path for exactness.
+    saturated: bool = False
 
     @staticmethod
     def empty() -> "HuffmanTable":
@@ -61,6 +66,7 @@ class HuffmanTable:
             self.lut_value.copy(),
             self.lut_nbits.copy(),
             self.num_symbols,
+            self.saturated,
         )
 
 
@@ -106,6 +112,8 @@ def build_huffman_table(num_codes: np.ndarray, values: np.ndarray) -> HuffmanTab
                 code += 1
             table.valptr_sub_mincode[l] = first - codes[first]
             table.maxcode[l] = codes[code_idx - 1]
+            if table.maxcode[l] == (1 << (l + 1)) - 1:
+                table.saturated = True
         code <<= 1
     return table
 

@@ -82,6 +82,32 @@ def test_bitexact_exact_mcu():
     _check(encode(img))
 
 
+def test_bitexact_saturated_table():
+    """A complete (saturated) Huffman code space forces the maxcode slow
+    path; decode must stay bit-exact."""
+    counts1 = np.zeros(16, np.uint8)
+    counts1[0] = 2  # two 1-bit codes: code space saturates at length 1
+    overrides = {
+        (0, 0): (counts1, np.array([0, 1], np.uint8)),  # DC: cats 0,1
+        (1, 0): (counts1, np.array([0x00, 0x11], np.uint8)),  # AC: EOB + (0,1)
+    }
+    img = np.full((24, 32), 127, np.uint8)  # flat: only cats 0/1 needed
+    data = encode(img, EncodeSpec(huff_overrides=overrides, quality=50))
+    from jpeggpu_tpu.pipeline import build_plan
+    from jpeggpu_tpu.reader import parse
+    plan = build_plan(parse(data))
+    assert not plan.signature.scans[0].cfg.fast_tables
+    _check(data)
+
+
+def test_fast_tables_flag_default(test_image):
+    from jpeggpu_tpu.pipeline import build_plan
+    from jpeggpu_tpu.reader import parse
+    data = encode(test_image)
+    plan = build_plan(parse(data))
+    assert plan.signature.scans[0].cfg.fast_tables
+
+
 def test_bitexact_flat_image():
     # long EOB runs: few symbols, many positions per subsequence
     img = np.full((64, 96, 3), 200, np.uint8)
