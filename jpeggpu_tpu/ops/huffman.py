@@ -279,27 +279,22 @@ def _category_fast(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     vsm = vsm0 + jnp.sum(jnp.where(ge15, dv, 0), axis=0)
     idx = (vsm + code) & 0xFF
 
-    hi = idx >> 4
-    lo = idx & 15
-    iota16_col = jnp.arange(16, dtype=jnp.int32)[:, None]
-    oh_lo = (iota16_col == lo[None, :]).astype(jnp.bfloat16)  # (16,S)
-    used = []
-    for g in groups:
-        for s in (g[1], g[2]):
-            if s not in used:
-                used.append(s)
-    # tmp[t][h, s] = huffval[t][h*16 + lo[s]]
-    tmps = {t: jnp.dot(ctx.hv16[t], oh_lo,
-                       preferred_element_type=jnp.float32) for t in used}
+    # symbol byte via one-hot over the packed 64-word huffval row (an MXU
+    # formulation was tried and lost: 16-wide contractions underutilize it)
+    word_i = idx >> 2
+    byte_i = idx & 3
+    iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
+    oh_w = iota64 == word_i[None, :]
 
-    def tmp_for(g):
-        return jnp.where(is_dc[None, :], tmps[g[1]], tmps[g[2]])
+    def hv_row(g):
+        return jnp.where(is_dc[None, :], ctx.hv_packed[g[1]][:, None],
+                         ctx.hv_packed[g[2]][:, None])
 
-    tmp = tmp_for(groups[-1])
+    hv = hv_row(groups[-1])
     for g in reversed(groups[:-1]):
-        tmp = jnp.where((c < g[0])[None, :], tmp_for(g), tmp)
-    oh_hi = iota16_col == hi[None, :]
-    sym_cat = jnp.sum(jnp.where(oh_hi, tmp, 0.0), axis=0).astype(jnp.int32)
+        hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
+    packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
+    sym_cat = (packed >> ((3 - byte_i) * 8)) & 0xFF
     return cat_len, sym_cat
 
 
@@ -345,6 +340,28 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return length, sym, run
 
 
+# symbol decodes per loop iteration: amortizes the per-iteration fixed cost
+# (carry traffic + loop plumbing) which otherwise dominates the VPU work
+_UNROLL = 8
+
+
+def _symbol_step(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                 p, c, z, active):
+    """One masked symbol step; returns (p, c, z, run, commit) after it."""
+    data = _load32(ctx, p)
+    length, sym, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
+    crosses = p + length > ctx.end_subseq
+    commit = active & ~crosses
+    p = jnp.where(commit, p + length, p)
+    z_new = z + run + 1
+    wrap = z_new >= 64
+    c_new = jnp.where(wrap, c + 1, c)
+    c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+    z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+    c = jnp.where(commit, c_new, c)
+    return p, c, z, sym, run, commit
+
+
 def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                         p0, c0, z0, active0):
     """Decode each lane's own subsequence from the given start state.
@@ -356,19 +373,10 @@ def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     def body(state):
         p, c, z, n, active, _ = state
-        data = _load32(ctx, p)
-        length, _, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
-        crosses = p + length > ctx.end_subseq
-        commit = active & ~crosses
-        p = jnp.where(commit, p + length, p)
-        n = jnp.where(commit, n + run + 1, n)
-        z_new = z + run + 1
-        wrap = z_new >= 64
-        c_new = jnp.where(wrap, c + 1, c)
-        c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
-        z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
-        c = jnp.where(commit, c_new, c)
-        active = commit
+        for _u in range(_UNROLL):
+            p, c, z, _, run, active = _symbol_step(cfg, arrs, ctx, p, c, z,
+                                                   active)
+            n = jnp.where(active, n + run + 1, n)
         return p, c, z, n, active, jnp.any(active)
 
     def cond(state):
@@ -488,10 +496,14 @@ def symbol_offsets(cfg: ScanConfig, arrs: ScanArrays, n: jax.Array) -> jax.Array
 
 
 def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
-                 chunk: int = 256) -> jax.Array:
+                 chunk: int = 256, straggler_width: int = 4096) -> jax.Array:
     """Final writing decode: re-decode every subsequence once from its synced
     start state, scattering nonzero coefficients zig-zag->natural into the
     stream-order coefficient buffer (decode_write, decode_huffman.cu:627-682).
+
+    The scatter cost is proportional to emitted slots (lanes x chunk per
+    round), so once few lanes remain active (symbol-count skew) they are
+    compacted to `straggler_width` and finish on narrow rounds.
 
     Returns int16[total_positions].
     """
@@ -503,7 +515,7 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     seg_pos_base = seg * cfg.positions_per_seg
     # per-segment write bound, clamped to the real buffer size (the reference
     # leaves the last partial segment unclamped, decode_huffman.cu:318-319)
-    bound = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
+    bound_full = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
 
     # start states: lane 0 of each segment decodes from scratch
     sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
@@ -513,51 +525,75 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
 
     out = jnp.zeros(total + 1, jnp.int16)  # +1: slot `total` absorbs drops
 
-    def outer_cond(state):
-        return state[6]
+    def make_round(cctx, bound):
+        def round_body(p, c, z, pos, active, out):
+            def inner(k, istate):
+                p, c, z, pos, active, wpos_buf, wval_buf = istate
+                for u in range(_UNROLL):
+                    alive = active & (pos < bound)
+                    p, c, z, sym, run, commit = _symbol_step(
+                        cfg, arrs, cctx, p, c, z, alive)
+                    wpos = pos + run
+                    do_write = commit & (sym != 0) & (wpos < total)
+                    du = wpos // C.DATA_UNIT_SIZE
+                    iz = wpos % C.DATA_UNIT_SIZE
+                    # zig-zag -> natural via one-hot over the 64-entry table
+                    oh = jnp.arange(64, dtype=jnp.int32)[:, None] == iz[None, :]
+                    nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
+                    tgt = du * C.DATA_UNIT_SIZE + nat
+                    slot = k * _UNROLL + u
+                    wpos_buf = wpos_buf.at[:, slot].set(
+                        jnp.where(do_write, tgt, total))
+                    wval_buf = wval_buf.at[:, slot].set(
+                        jnp.where(do_write, sym, 0).astype(jnp.int16))
+                    pos = jnp.where(commit, wpos + 1, pos)
+                    active = commit
+                return p, c, z, pos, active, wpos_buf, wval_buf
 
-    def outer_body(state):
-        p, c, z, pos, active, out, _ = state
+            width = p.shape[0]
+            wpos_buf = jnp.full((width, chunk), total, jnp.int32)
+            wval_buf = jnp.zeros((width, chunk), jnp.int16)
+            p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
+                0, chunk // _UNROLL, inner,
+                (p, c, z, pos, active, wpos_buf, wval_buf))
+            out = out.at[wpos_buf.reshape(-1)].set(
+                wval_buf.reshape(-1), mode="drop", unique_indices=False)
+            return p, c, z, pos, active, out
+        return round_body
 
-        def inner(k, istate):
-            p, c, z, pos, active, wpos_buf, wval_buf = istate
-            alive = active & (pos < bound)
-            data = _load32(ctx, p)
-            length, sym, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
-            crosses = p + length > ctx.end_subseq
-            commit = alive & ~crosses
-            wpos = pos + run
-            do_write = commit & (sym != 0) & (wpos < total)
-            du = wpos // C.DATA_UNIT_SIZE
-            iz = wpos % C.DATA_UNIT_SIZE
-            # zig-zag -> natural via one-hot over the 64-entry table
-            oh = jnp.arange(64, dtype=jnp.int32)[:, None] == iz[None, :]
-            nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
-            tgt = du * C.DATA_UNIT_SIZE + nat
-            wpos_buf = wpos_buf.at[:, k].set(jnp.where(do_write, tgt, total))
-            wval_buf = wval_buf.at[:, k].set(
-                jnp.where(do_write, sym, 0).astype(jnp.int16))
-            p = jnp.where(commit, p + length, p)
-            pos = jnp.where(commit, wpos + 1, pos)
-            z_new = z + run + 1
-            wrap = z_new >= 64
-            c_new = jnp.where(wrap, c + 1, c)
-            c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
-            z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
-            c = jnp.where(commit, c_new, c)
-            return p, c, z, pos, commit, wpos_buf, wval_buf
+    K = min(straggler_width, lanes)
+    full_round = make_round(ctx, bound_full)
 
-        wpos_buf = jnp.full((lanes, chunk), total, jnp.int32)
-        wval_buf = jnp.zeros((lanes, chunk), jnp.int16)
-        p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
-            0, chunk, inner, (p, c, z, pos, active, wpos_buf, wval_buf))
-        out = out.at[wpos_buf.reshape(-1)].set(
-            wval_buf.reshape(-1), mode="drop", unique_indices=False)
-        return p, c, z, pos, active, out, jnp.any(active & (pos < bound))
+    def cond_a(state):
+        p, c, z, pos, active, out = state
+        alive = active & (pos < bound_full)
+        return jnp.sum(alive.astype(jnp.int32)) > K
 
-    active0 = ctx.lane_valid & (pos0 < bound) & (sp < ctx.end_subseq)
-    state = (sp, sc, sz, pos0, active0, out, jnp.any(active0))
-    _, _, _, _, _, out, _ = jax.lax.while_loop(outer_cond, outer_body, state)
+    def body_a(state):
+        return full_round(*state)
+
+    active0 = ctx.lane_valid & (pos0 < bound_full) & (sp < ctx.end_subseq)
+    state = (sp, sc, sz, pos0, active0, out)
+    p, c, z, pos, active, out = jax.lax.while_loop(cond_a, body_a, state)
+
+    # compact the stragglers and finish on narrow rounds
+    alive = active & (pos < bound_full)
+    idx_raw = jnp.nonzero(alive, size=K, fill_value=-1)[0].astype(jnp.int32)
+    valid = idx_raw >= 0
+    idx = jnp.clip(idx_raw, 0, lanes - 1)
+    cctx = gather_ctx(ctx, idx, valid)
+    bound_c = bound_full[idx]
+    comp_round = make_round(cctx, bound_c)
+
+    def cond_b(state):
+        p, c, z, pos, active, out = state
+        return jnp.any(active & (pos < bound_c))
+
+    def body_b(state):
+        return comp_round(*state)
+
+    state_b = (p[idx], c[idx], z[idx], pos[idx], valid & alive[idx], out)
+    _, _, _, _, _, out = jax.lax.while_loop(cond_b, body_b, state_b)
     return out[:total]
 
 
