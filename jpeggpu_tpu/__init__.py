@@ -39,8 +39,12 @@ __all__ = [
 
 def __getattr__(name):
     # lazy: importing the API pulls in jax; keep host-only imports light
-    if name in ("Decoder", "ImgInfo", "decode", "decode_rgb"):
+    if name in ("Decoder", "ImgInfo", "decode", "decode_rgb", "is_css_444"):
         from . import api
 
         return getattr(api, name)
+    if name in ("golden", "debug", "encoder"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)

@@ -125,9 +125,44 @@ class Decoder:
         inputs = self._host_inputs()
         if self._device_inputs is None:
             self.transfer()
+        for s, scan in enumerate(plan.stream.scans):
+            self._log(f"scan {s}: {scan.num_subsequences} subsequences in "
+                      f"{scan.num_segments} segment(s), "
+                      f"{scan.num_mcus_x}x{scan.num_mcus_y} MCUs")
         exe = get_compiled(plan, inputs, with_idct)
         out = exe(self._device_inputs["scans"], self._device_inputs["qtables"])
-        return [np.asarray(p) for p in out]
+        planes = [np.asarray(p) for p in out]
+        from . import debug
+
+        if debug.is_debug():
+            self._debug_checks(planes, with_idct)
+        return planes
+
+    def _debug_checks(self, planes, with_idct: bool) -> None:
+        """Synchronous consistency checks (reference is_debug analog)."""
+        from . import debug
+        from .errors import InternalError
+
+        plan = self._require_plan()
+        stream = plan.stream
+        for scan in stream.scans:
+            seg = scan.segments
+            if int(seg[:, 1].sum()) != scan.num_subsequences or (
+                    scan.num_segments and
+                    not (seg[1:, 0] == np.cumsum(seg[:-1, 1])).all()):
+                raise InternalError("segment table inconsistent")
+        self._log("debug: segment tables consistent")
+        npix = stream.size_x * stream.size_y
+        if with_idct and npix <= debug.DEBUG_GOLDEN_MAX_PIXELS:
+            from . import golden
+
+            ref = golden.decode(self._data)
+            for i, (a, b) in enumerate(zip(ref, planes)):
+                if not np.array_equal(a, b):
+                    raise InternalError(
+                        f"device output diverges from golden CPU decode "
+                        f"(plane {i})")
+            self._log("debug: device output matches golden CPU decoder")
 
     def decode_rgb(self) -> np.ndarray:
         """Convenience: decode + chroma upsample + YCbCr->RGB (host side,
@@ -149,6 +184,13 @@ class Decoder:
 
     def __exit__(self, *exc) -> None:
         self.cleanup()
+
+
+def is_css_444(subsampling: Sequence[Tuple[int, int]],
+               num_components: int) -> bool:
+    """True iff every component is 1x1 sampled (reference is_css_444,
+    jpeggpu.h:70-71)."""
+    return all(subsampling[c] == (1, 1) for c in range(num_components))
 
 
 def decode(data: bytes) -> List[np.ndarray]:

@@ -108,7 +108,11 @@ class _Ctx:
     hv16: jax.Array  # bfloat16[8,16,16] huffval as 16x16 for MXU lookup
 
 
-def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
+def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
+             num_subseq=None) -> _Ctx:
+    """Build the decode context. `num_subseq` may override the static
+    cfg.num_subseq with a traced scalar (used by segment-sharded decode,
+    where each shard owns a different number of subsequences)."""
     lanes = cfg.lanes
     words2d = arrs.words.reshape(lanes, C.CHUNK_SIZE_WORDS).T  # (32, lanes)
     prev_last = jnp.roll(words2d[-1:, :], 1, axis=1)
@@ -137,6 +141,7 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
 
     lane = jnp.arange(lanes, dtype=jnp.int32)
     rel = lane - arrs.seg_first_lane
+    n_sub = cfg.num_subseq if num_subseq is None else num_subseq
     return _Ctx(
         window=window,
         hv_packed=hv_packed,
@@ -144,7 +149,7 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays) -> _Ctx:
         seg_base_bits=arrs.seg_first_lane * C.SUBSEQ_SIZE_BITS,
         end_subseq=(rel + 1) * C.SUBSEQ_SIZE_BITS,
         rel=rel,
-        lane_valid=lane < cfg.num_subseq,
+        lane_valid=lane < n_sub,
         first_of_seg=rel == 0,
         lane_word0=lane * C.CHUNK_SIZE_WORDS,
         limits=limits,
@@ -496,7 +501,9 @@ def symbol_offsets(cfg: ScanConfig, arrs: ScanArrays, n: jax.Array) -> jax.Array
 
 
 def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
-                 chunk: int = 256, straggler_width: int = 4096) -> jax.Array:
+                 chunk: int = 256, straggler_width: int = 4096,
+                 pos_base=None, bound=None,
+                 total_out: int | None = None) -> jax.Array:
     """Final writing decode: re-decode every subsequence once from its synced
     start state, scattering nonzero coefficients zig-zag->natural into the
     stream-order coefficient buffer (decode_write, decode_huffman.cu:627-682).
@@ -510,12 +517,15 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     lanes = cfg.lanes
     natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
 
-    total = cfg.total_positions
+    total = cfg.total_positions if total_out is None else total_out
     seg = arrs.seg_of_subseq
-    seg_pos_base = seg * cfg.positions_per_seg
+    seg_pos_base = seg * cfg.positions_per_seg if pos_base is None else pos_base
     # per-segment write bound, clamped to the real buffer size (the reference
     # leaves the last partial segment unclamped, decode_huffman.cu:318-319)
-    bound_full = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
+    if bound is None:
+        bound_full = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
+    else:
+        bound_full = bound
 
     # start states: lane 0 of each segment decodes from scratch
     sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
@@ -597,13 +607,17 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     return out[:total]
 
 
-def decode_scan(cfg: ScanConfig, arrs: ScanArrays) -> jax.Array:
+def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
+                pos_base=None, bound=None,
+                total_out: int | None = None) -> jax.Array:
     """Full entropy decode of one scan: sync, offsets, write.
 
     Returns int16[total_positions] stream-order coefficients (natural order
-    within each data unit, DC still difference-coded).
+    within each data unit, DC still difference-coded). The keyword overrides
+    support shard-local decode (see parallel/segments.py).
     """
-    ctx = make_ctx(cfg, arrs)
+    ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
     p, c, z, n = sync_states(cfg, arrs, ctx)
     n_off = symbol_offsets(cfg, arrs, n)
-    return decode_write(cfg, arrs, ctx, p, c, z, n_off)
+    return decode_write(cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
+                        bound=bound, total_out=total_out)

@@ -1,0 +1,88 @@
+"""Robustness: malformed input handling (host validation + total device
+kernels, matching the reference's philosophy — SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from jpeggpu_tpu import parse
+from jpeggpu_tpu.encoder import EncodeSpec, encode
+from jpeggpu_tpu.errors import JpegError
+
+
+def test_random_bytes_never_crash():
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        blob = rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8)
+        with pytest.raises(JpegError):
+            parse(blob.tobytes())
+
+
+def test_mutated_headers_never_crash(test_image):
+    data = bytearray(encode(test_image))
+    rng = np.random.default_rng(1)
+    header_len = data.index(b"\xff\xda") + 2  # up to SOS
+    for _ in range(60):
+        mutated = bytearray(data)
+        for _ in range(3):
+            pos = rng.integers(2, header_len)
+            mutated[pos] = rng.integers(0, 256)
+        try:
+            parse(bytes(mutated))
+        except JpegError:
+            pass  # clean rejection is the contract
+
+
+def test_truncated_scan_decodes_deterministically(test_image):
+    """A truncated entropy stream must decode without crashing, identically
+    on device and golden (zero-padding semantics)."""
+    jax = pytest.importorskip("jax")
+    from jpeggpu_tpu import golden
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    # drop the last 30% of the scan body, keep EOI so the parser accepts it
+    s = parse(data)
+    scan = s.scans[0]
+    cut = scan.begin + (scan.end - scan.begin) * 7 // 10
+    # ensure the cut does not land inside a 0xFF pair
+    raw = bytearray(data[:cut])
+    if raw[-1] == 0xFF:
+        raw.pop()
+    truncated = bytes(raw) + b"\xff\xd9"
+    g = golden.decode(truncated)
+    d = decode_jpeg_device(truncated)
+    for a, b in zip(g, d):
+        assert np.array_equal(a, b)
+
+
+def test_garbage_scan_body_decodes_deterministically(test_image):
+    jax = pytest.importorskip("jax")
+    from jpeggpu_tpu import golden
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image[..., 0])
+    s = parse(data)
+    scan = s.scans[0]
+    rng = np.random.default_rng(2)
+    body = rng.integers(0, 255, scan.end - scan.begin, dtype=np.uint8)
+    body[body == 0xFF] = 0x7F  # avoid creating markers
+    garbled = data[:scan.begin] + body.tobytes() + data[scan.end:]
+    g = golden.decode(garbled)
+    d = decode_jpeg_device(garbled)
+    for a, b in zip(g, d):
+        assert np.array_equal(a, b)
+
+
+def test_debug_mode_cross_checks(test_image):
+    jax = pytest.importorskip("jax")
+    from jpeggpu_tpu import Decoder, debug
+
+    data = encode(test_image)
+    debug.set_debug(True)
+    try:
+        with Decoder() as d:
+            d.parse_header(data)
+            planes = d.decode()  # raises InternalError on divergence
+            assert planes[0].shape == (45, 67)
+    finally:
+        debug.set_debug(False)

@@ -1,0 +1,62 @@
+"""Segment-sharded (sequence-parallel) single-image decode tests."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jpeggpu_tpu import golden
+from jpeggpu_tpu.encoder import EncodeSpec, encode
+from jpeggpu_tpu.errors import NotSupported
+from jpeggpu_tpu.parallel import make_mesh
+from jpeggpu_tpu.parallel.segments import decode_sharded, plan_shards
+from jpeggpu_tpu.pipeline import build_plan
+from jpeggpu_tpu.reader import parse
+
+
+def _big_image(seed=0, w=256, h=160):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (8, 12, 3)).astype(np.uint8)
+    return np.array(Image.fromarray(base).resize((w, h), Image.BILINEAR))
+
+
+def test_sharded_matches_golden():
+    img = _big_image()
+    data = encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                  restart_interval=4))
+    mesh = make_mesh(jax.devices()[:8], axis_name="seg")
+    out = decode_sharded(data, mesh)
+    ref = golden.decode(data)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_gray_uneven_segments():
+    img = _big_image(seed=3)[..., 0]
+    data = encode(img, EncodeSpec(restart_interval=37))  # uneven partition
+    mesh = make_mesh(jax.devices()[:4], axis_name="seg")
+    out = decode_sharded(data, mesh)
+    ref = golden.decode(data)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_requires_enough_segments(test_image):
+    data = encode(test_image)  # no restart markers: one segment
+    plan = build_plan(parse(data))
+    with pytest.raises(NotSupported):
+        plan_shards(plan, 8)
+
+
+def test_shard_partition_covers_everything():
+    img = _big_image(seed=5)
+    data = encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                  restart_interval=3))
+    plan = build_plan(parse(data))
+    shp = plan_shards(plan, 8)
+    assert shp.bounds[0] == 0
+    assert shp.bounds[-1] == plan.stream.scans[0].num_segments
+    assert all(b2 > b1 for b1, b2 in zip(shp.bounds, shp.bounds[1:]))
+    total = plan.signature.scans[0].cfg.total_positions
+    assert sum(shp.real_positions) == total
