@@ -1,9 +1,11 @@
 """Device dequantize + integer IDCT.
 
-Runs the shared fixed-point arithmetic of :mod:`jpeggpu_tpu.idct_int` under
-XLA on (n_blocks, 8, 8) int32 tensors — bit-identical to the golden CPU path
-by construction. A Pallas fused variant lives in
-:mod:`jpeggpu_tpu.ops.idct_pallas`.
+Two implementations with identical integer semantics (bit-identical to the
+golden CPU path by construction):
+- the portable XLA formulation (shared arithmetic from
+  :mod:`jpeggpu_tpu.idct_int`),
+- a fused Pallas TPU kernel (:mod:`jpeggpu_tpu.ops.idct_pallas`),
+  selected automatically on TPU backends.
 """
 
 from __future__ import annotations
@@ -12,6 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from ..idct_int import dequant_idct_blocks
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def dequant_idct_plane(plane: jax.Array, qtable: jax.Array) -> jax.Array:
@@ -26,6 +35,13 @@ def dequant_idct_plane(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     h, w = plane.shape
     blocks = plane.astype(jnp.int32).reshape(h // 8, 8, w // 8, 8)
     blocks = blocks.transpose(0, 2, 1, 3)
-    pix = dequant_idct_blocks(jnp, blocks, qtable.astype(jnp.int32))
+    if _use_pallas():
+        from .idct_pallas import dequant_idct_blocks_pallas
+
+        pix = dequant_idct_blocks_pallas(
+            blocks.reshape(-1, 8, 8), qtable.astype(jnp.int32))
+        pix = pix.reshape(h // 8, w // 8, 8, 8)
+    else:
+        pix = dequant_idct_blocks(jnp, blocks, qtable.astype(jnp.int32))
     out = pix.transpose(0, 2, 1, 3).reshape(h, w)
     return out.astype(jnp.uint8)

@@ -1,0 +1,116 @@
+"""Pallas TPU kernel: fused dequantize + integer 8x8 IDCT + level shift.
+
+Same arithmetic as :mod:`jpeggpu_tpu.idct_int` (reference src/idct.cu:44-223)
+— int16-wrapping dequant, two fixed-point passes, +128/clamp — but fused in
+VMEM: a grid cell loads a (8, 8, LANES) tile of coefficient blocks (data
+units laid out unit-per-lane), runs both passes fully unrolled on (LANES,)
+vectors, and writes uint8-valued pixels without intermediate HBM traffic.
+
+Selected automatically on TPU backends; the XLA formulation remains the
+portable fallback (ops/idct.py chooses).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..idct_int import _COS_1_4, _COS_1_8, _OCOS_1_16, _OCOS_5_16, \
+    _OSIN_1_16, _OSIN_5_16, _SIN_1_8
+
+LANES = 512  # data units per grid cell
+
+
+def _wrap16(x):
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _unfixo(x):
+    return (x + 0x1000) >> 13
+
+
+def _unfixh(x):
+    return _wrap16((x + 0x8000) >> 16)
+
+
+def _vector8(v):
+    v0, v1, v2, v3, v4, v5, v6, v7 = v
+    t10 = (v0 + v4) * _COS_1_4
+    t11 = (v0 - v4) * _COS_1_4
+    t12 = v2 * _SIN_1_8 - v6 * _COS_1_8
+    t13 = v6 * _SIN_1_8 + v2 * _COS_1_8
+    t20, t21 = t10 + t13, t11 + t12
+    t22, t23 = t11 - t12, t10 - t13
+    t30 = _unfixo((v3 + v5) * _COS_1_4)
+    t31 = _unfixo((v3 - v5) * _COS_1_4)
+    v1s, v7s = v1 << 2, v7 << 2
+    t40, t41 = v1s + t30, v7s + t31
+    t42, t43 = v1s - t30, v7s - t31
+    t50 = t40 * _OCOS_1_16 + t41 * _OSIN_1_16
+    t51 = t40 * _OSIN_1_16 - t41 * _OCOS_1_16
+    t52 = t42 * _OCOS_5_16 + t43 * _OSIN_5_16
+    t53 = t42 * _OSIN_5_16 - t43 * _OCOS_5_16
+    return (_unfixh(t20 + t50), _unfixh(t21 + t53), _unfixh(t22 + t52),
+            _unfixh(t23 + t51), _unfixh(t23 - t51), _unfixh(t22 - t52),
+            _unfixh(t21 - t53), _unfixh(t20 - t50))
+
+
+def _idct_kernel(coeff_ref, q_ref, out_ref):
+    # coeff_ref: (8, 8, LANES) int32 — [row, col, unit]
+    # q_ref:     (8, 8) int32 (already signed-int8 reinterpreted)
+    # out_ref:   (8, 8, LANES) int32 pixels in [0, 255]
+    x = coeff_ref[...]
+    q = q_ref[...]
+    dq = _wrap16(x * q[:, :, None])
+
+    # column pass: transform down each column j (along the row axis)
+    cols = [[dq[i, j, :] for j in range(8)] for i in range(8)]
+    for j in range(8):
+        res = _vector8([cols[i][j] for i in range(8)])
+        for i in range(8):
+            cols[i][j] = res[i]
+    # row pass: transform along each row i
+    for i in range(8):
+        res = _vector8(cols[i])
+        cols[i] = list(res)
+
+    rows = [jnp.stack(cols[i], axis=0) for i in range(8)]  # (8, LANES) each
+    pix = jnp.stack(rows, axis=0)  # (8, 8, LANES)
+    pix = jnp.clip(_wrap16(pix + 128), 0, 255)
+    out_ref[...] = pix
+
+
+def dequant_idct_blocks_pallas(coeffs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """coeffs: int32[N, 8, 8] natural order; qtable raw bytes (64,)/(8,8).
+
+    Returns int32[N, 8, 8] pixels in [0, 255]. N is padded to LANES
+    internally.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = coeffs.shape[0]
+    n_pad = -(-n // LANES) * LANES
+    x = jnp.zeros((n_pad, 8, 8), jnp.int32).at[:n].set(coeffs)
+    x = jnp.transpose(x, (1, 2, 0))  # (8, 8, N)
+
+    q = qtable.reshape(8, 8).astype(jnp.int32)
+    q = ((q + 0x80) & 0xFF) - 0x80  # signed-int8 quirk (idct.cu:179)
+
+    grid = (n_pad // LANES,)
+    out = pl.pallas_call(
+        _idct_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 8, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, 8, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 8, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )(x, q)
+    return jnp.transpose(out, (2, 0, 1))[:n]

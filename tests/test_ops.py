@@ -168,3 +168,23 @@ def test_dc_undelta_wraps_like_int16():
     expect = np.cumsum([30000, 10000, 10000, -5000])
     expect = ((expect + 0x8000) % 0x10000) - 0x8000
     assert np.array_equal(dc, expect)
+
+
+def test_idct_pallas_interpret_matches_xla():
+    """The Pallas IDCT kernel (interpret mode on CPU) is bit-identical to
+    the XLA formulation."""
+    from unittest import mock
+    import jpeggpu_tpu.ops.idct_pallas as ip
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(9)
+    blocks = rng.integers(-1000, 1000, (70, 8, 8)).astype(np.int32)
+    q = rng.integers(1, 255, 64).astype(np.int32)
+    ref = dequant_idct_blocks(np, blocks, q)
+
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           lambda *a, **k: orig_call(*a, interpret=True, **k)):
+        out = np.asarray(ip.dequant_idct_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(q)))
+    assert np.array_equal(ref, out)
