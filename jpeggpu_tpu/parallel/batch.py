@@ -54,6 +54,119 @@ def _batched_pipeline(signature: PlanSignature, scan_inputs, qtables,
     return jax.vmap(fn)(scan_inputs, qtables)
 
 
+# --- merged-lane batching ---------------------------------------------------
+#
+# vmap-ing the decode lowers poorly (batched scatters and nested loops), and
+# it widens nothing: every per-symbol vector op stays `lanes` wide. Decoding
+# is lane-parallel, so a batch of B same-geometry images that share Huffman
+# tables IS one bigger decode: concatenate the images along the lane axis
+# (each image's segments become more independent segments), run the standard
+# single-image machinery once at B*lanes width, and split the coefficient
+# stream per image for the cheap tail stages.
+
+def _merged_scan_coeffs(sp, scans_merged, batch: int):
+    from ..ops.huffman import ScanArrays, decode_scan
+
+    cfg0 = sp.cfg
+    cfg_m = dataclasses.replace(cfg0, lanes=batch * cfg0.lanes,
+                                num_subseq=batch * cfg0.lanes)
+    arrs = ScanArrays(
+        words=scans_merged["words"],
+        seg_of_subseq=scans_merged["seg_of_subseq"],
+        seg_first_lane=scans_merged["seg_first_lane"],
+        seg_num_subseq=scans_merged["seg_num_subseq"],
+        maxcode=scans_merged["maxcode"],
+        vsm=scans_merged["vsm"],
+        huffval=scans_merged["huffval"],
+    )
+    coeffs = decode_scan(
+        cfg_m, arrs,
+        num_subseq=scans_merged["lane_bound"],
+        pos_base=scans_merged["pos_base"],
+        bound=scans_merged["pos_bound"],
+        total_out=batch * cfg0.total_positions,
+    )
+    return coeffs.reshape(batch, cfg0.total_positions)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _merged_pipeline(signature: PlanSignature, merged_scans, qtables,
+                     with_idct: bool):
+    from ..ops.dc import undelta_dc
+    from ..ops.idct import dequant_idct_plane
+    from ..ops.transpose import deinterleave
+
+    batch = qtables.shape[0]
+    planes_by_comp = {}
+    qidx = {}
+    for sp, ms in zip(signature.scans, merged_scans):
+        coeffs = _merged_scan_coeffs(sp, ms, batch)
+        cfg = sp.cfg
+        comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+        t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
+
+        def tail(co):
+            co = undelta_dc(cfg, comp_slots, co)
+            return deinterleave(cfg, co, sp.num_mcus_x, sp.num_mcus_y,
+                                t_comps)
+
+        scan_planes = jax.vmap(tail)(coeffs)
+        for c, plane in zip(sp.comps, scan_planes):
+            planes_by_comp[c[0]] = plane
+            qidx[c[0]] = c[6]
+
+    out = []
+    for ci, (size_x, size_y) in enumerate(signature.comp_sizes):
+        plane = planes_by_comp[ci]
+        if with_idct:
+            plane = jax.vmap(dequant_idct_plane)(plane, qtables[:, qidx[ci]])
+        out.append(plane[:, :size_y, :size_x])
+    return tuple(out)
+
+
+def merge_scan_inputs(sp, per_image: List[Dict]) -> Dict[str, np.ndarray]:
+    """Concatenate B images' staged arrays for one scan along the lane axis
+    (requires host_destuff plans; tables taken from image 0 — caller must
+    verify they are shared)."""
+    import jpeggpu_tpu.constants as C
+
+    cfg = sp.cfg
+    L = cfg.lanes
+    B = len(per_image)
+    pps = cfg.positions_per_seg
+    total = cfg.total_positions
+    words = np.concatenate([i["words"] for i in per_image])
+    seg_of = np.concatenate([i["seg_of_subseq"] + b * cfg.num_segments
+                             for b, i in enumerate(per_image)])
+    seg_first = np.concatenate([i["seg_first_lane"] + b * L
+                                for b, i in enumerate(per_image)])
+    seg_nsub = np.concatenate([i["seg_num_subseq"] for i in per_image])
+    lane_bound = np.concatenate([
+        np.full(L, b * L + cfg.num_subseq, np.int32) for b in range(B)])
+    seg_local = np.concatenate([i["seg_of_subseq"] for i in per_image])
+    img_of = np.repeat(np.arange(B, dtype=np.int64), L)
+    pos_base = (img_of * total + seg_local.astype(np.int64) * pps)
+    pos_bound = np.minimum((seg_local.astype(np.int64) + 1) * pps, total) + \
+        img_of * total
+    return dict(
+        words=words, seg_of_subseq=seg_of, seg_first_lane=seg_first,
+        seg_num_subseq=seg_nsub, lane_bound=lane_bound,
+        pos_base=pos_base.astype(np.int32),
+        pos_bound=pos_bound.astype(np.int32),
+        maxcode=per_image[0]["maxcode"], vsm=per_image[0]["vsm"],
+        huffval=per_image[0]["huffval"],
+    )
+
+
+def _tables_shared(per_image: List[Dict]) -> bool:
+    first = per_image[0]
+    return all(
+        np.array_equal(i["maxcode"], first["maxcode"]) and
+        np.array_equal(i["vsm"], first["vsm"]) and
+        np.array_equal(i["huffval"], first["huffval"])
+        for i in per_image[1:])
+
+
 @dataclasses.dataclass
 class _Group:
     plan: DecodePlan
@@ -62,11 +175,19 @@ class _Group:
 
 
 class BatchDecoder:
-    """Decode batches of JPEGs, optionally sharded across a device mesh."""
+    """Decode batches of JPEGs, optionally sharded across a device mesh.
 
-    def __init__(self, mesh: Optional[Mesh] = None, with_idct: bool = True):
+    On a single device, same-geometry images that share Huffman tables are
+    decoded through the merged-lane path (one decode at batch*lanes width);
+    otherwise a vmapped pipeline is used. On a mesh, the batch axis is
+    sharded data-parallel.
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, with_idct: bool = True,
+                 merged: bool = True):
         self.mesh = mesh
         self.with_idct = with_idct
+        self.merged = merged
         self._exec_cache: Dict = {}
 
     def _shard(self, tree, batch: int):
@@ -107,13 +228,30 @@ class BatchDecoder:
                 m = self.mesh.devices.size
                 pad = (-n) % m
             batch_inputs = g.inputs + [g.inputs[-1]] * pad
-            scans = [_stack([bi["scans"][s] for bi in batch_inputs])
-                     for s in range(len(sig.scans))]
+            use_merged = (
+                self.merged and self.mesh is None and len(batch_inputs) > 1
+                and all(sp.host_destuff for sp in sig.scans)
+                and all(_tables_shared([bi["scans"][s] for bi in batch_inputs])
+                        for s in range(len(sig.scans))))
             qtables = np.stack([bi["qtables"] for bi in batch_inputs])
-            scans = self._shard(scans, n + pad)
-            qtables = self._shard(qtables, n + pad)
-            exe = self._get_exec(sig, n + pad, scans, qtables)
-            out = exe(scans, qtables)
+            if use_merged:
+                merged = [merge_scan_inputs(sp, [bi["scans"][s]
+                                                 for bi in batch_inputs])
+                          for s, sp in enumerate(sig.scans)]
+                key = (sig, len(batch_inputs), self.with_idct, "merged")
+                exe = self._exec_cache.get(key)
+                if exe is None:
+                    exe = _merged_pipeline.lower(
+                        sig, merged, qtables, self.with_idct).compile()
+                    self._exec_cache[key] = exe
+                out = exe(merged, qtables)
+            else:
+                scans = [_stack([bi["scans"][s] for bi in batch_inputs])
+                         for s in range(len(sig.scans))]
+                scans = self._shard(scans, n + pad)
+                qtables = self._shard(qtables, n + pad)
+                exe = self._get_exec(sig, n + pad, scans, qtables)
+                out = exe(scans, qtables)
             planes = [np.asarray(p) for p in out]
             for bi, i in enumerate(g.indices):
                 results[i] = [p[bi] for p in planes]

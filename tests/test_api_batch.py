@@ -120,3 +120,32 @@ def test_graft_entry_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_merged_batch_bitexact(test_image):
+    """Merged-lane batching (shared tables) is bit-exact per image."""
+    datas = [encode(np.roll(test_image, 7 * i, axis=0),
+                    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+             for i in range(4)]
+    dec = BatchDecoder(merged=True)
+    out = dec.decode(datas)
+    assert any("merged" in str(k) for k in dec._exec_cache)
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_merged_batch_with_restarts(test_image):
+    # identical payloads guarantee equal geometry buckets (distinct images
+    # only group when their bucketed sizes coincide)
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                         restart_interval=2))
+    datas = [data] * 3
+    dec = BatchDecoder(merged=True)
+    out = dec.decode(datas)
+    assert any("merged" in str(k) for k in dec._exec_cache)
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
