@@ -7,6 +7,7 @@ with self-synchronization, DC prefix-sums, MCU de-interleaving and integer
 dequantize+IDCT — plus batched, multi-chip decode via jax.sharding.
 """
 
+from .config import Tuning, default_tuning, set_default_tuning
 from .errors import (
     IncompleteBitstream,
     InternalError,
@@ -14,6 +15,7 @@ from .errors import (
     InvalidJpeg,
     JpegError,
     NotSupported,
+    OutOfHostMemory,
     Status,
     get_status_string,
 )
@@ -27,7 +29,11 @@ __all__ = [
     "JpegError",
     "JpegStream",
     "NotSupported",
+    "OutOfHostMemory",
     "Status",
+    "Tuning",
+    "default_tuning",
+    "set_default_tuning",
     "Decoder",
     "ImgInfo",
     "decode",

@@ -89,19 +89,17 @@ class Decoder:
 
     # -- phase 2: device memory accounting (jpeggpu.h:87-88) --
     def get_buffer_size(self) -> int:
-        """Temporary device memory the compiled decode uses, in bytes.
+        """Device memory the compiled decode uses, in bytes.
 
         Under XLA the compiler owns buffer planning, so this is reported
         from the compiled executable rather than reserved by the caller —
         the contract it preserves is "memory is knowable from the header".
+        Raises InternalError if the backend cannot report memory use.
         """
+        from .pipeline import decode_buffer_size
+
         plan = self._require_plan()
-        inputs = self._host_inputs()
-        exe = get_compiled(plan, inputs, True)
-        try:
-            return int(exe.memory_analysis().temp_size_in_bytes)
-        except Exception:
-            return 0
+        return decode_buffer_size(plan, self._host_inputs(), True)
 
     def _host_inputs(self):
         if self._staged is None:

@@ -1,0 +1,71 @@
+"""Typed decode-tuning configuration (SURVEY §5 config/flag system).
+
+The reference hard-codes its tuning in kernel-launch constants
+(decode_huffman.cu: block sizes 256/512, chunk sizes); here every knob of
+the device entropy decoder lives in one frozen dataclass that rides inside
+the static :class:`~jpeggpu_tpu.ops.huffman.ScanConfig`, so a tuning change
+is part of the executable cache key and triggers exactly one recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Tuning:
+    """Static tuning knobs of the device entropy decoder.
+
+    Attributes:
+      frontier_width: lane count of compacted synchronization rounds; a
+        mis-synced frontier wider than this falls back to a full-width round
+        (ops/huffman.py sync_states).
+      write_chunk: symbol steps per writing-decode round between coefficient
+        scatters (ops/huffman.py decode_write).
+      straggler_width: lane count of the compacted tail of the writing
+        decode, entered once fewer than this many lanes remain active.
+      unroll: symbol decodes per loop iteration; amortizes per-iteration
+        fixed costs (carry traffic + loop plumbing) on the VPU.
+      entropy_backend: "auto" | "xla" | "pallas" — implementation of the
+        per-symbol decode loops. "auto" selects the fused Pallas kernels on
+        TPU backends and the XLA formulation elsewhere.
+      write_mode: "auto" | "scatter" | "matmul" — coefficient
+        materialization. "scatter" is the element-granular scatter of
+        decode_write; "matmul" is the dense-emission + MXU tile-assembly
+        path (decode_write_emit/assemble_coefficients), ~64x fewer scatter
+        indices. "auto" selects matmul on TPU backends, scatter on CPU.
+    """
+
+    frontier_width: int = 2048
+    write_chunk: int = 256
+    straggler_width: int = 4096
+    unroll: int = 8
+    entropy_backend: str = "auto"
+    write_mode: str = "auto"
+
+    def __post_init__(self):
+        if self.entropy_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"entropy_backend must be auto|xla|pallas, "
+                f"got {self.entropy_backend!r}")
+        if self.write_mode not in ("auto", "scatter", "matmul"):
+            raise ValueError(
+                f"write_mode must be auto|scatter|matmul, "
+                f"got {self.write_mode!r}")
+        for name in ("frontier_width", "write_chunk", "straggler_width",
+                     "unroll"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+
+
+_default = Tuning()
+
+
+def default_tuning() -> Tuning:
+    return _default
+
+
+def set_default_tuning(tuning: Tuning) -> None:
+    """Set the process-wide default tuning used by newly built plans."""
+    global _default
+    _default = tuning

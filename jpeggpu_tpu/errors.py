@@ -59,5 +59,9 @@ class NotSupported(JpegError):
     status = Status.NOT_SUPPORTED
 
 
+class OutOfHostMemory(JpegError):
+    status = Status.OUT_OF_HOST_MEMORY
+
+
 class IncompleteBitstream(JpegError):
     status = Status.INCOMPLETE_BITSTREAM

@@ -24,7 +24,7 @@ import numpy as np
 from . import constants as C
 from .idct_int import dequant_idct_blocks
 from .reader import JpegStream, Scan, num_mcus_in_segment, parse
-from .tables import HuffmanTable
+from .tables import HuffmanTable, decode_category_scalar
 
 
 def destuff_scan_host(buf: np.ndarray, scan: Scan) -> np.ndarray:
@@ -88,13 +88,9 @@ def _extract_value(bits32: int, cat_len: int, cat: int) -> int:
     return offset
 
 
-def _decode_category(table: HuffmanTable, bits32: int) -> tuple[int, int]:
-    for l in range(16):
-        code = bits32 >> (31 - l)
-        if code <= int(table.maxcode[l]) or l == 15:
-            idx = (int(table.valptr_sub_mincode[l]) + code) & 0xFF
-            return int(table.huffval[idx]), l + 1
-    raise AssertionError
+# category decode: the 8-bit-prefix LUT fast path with maxcode fallback
+# (tables.decode_category_scalar) — shared with the reader-side tooling
+_decode_category = decode_category_scalar
 
 
 def decode_scan_coefficients(stream: JpegStream, scan: Scan, buf: np.ndarray) -> np.ndarray:
@@ -153,10 +149,78 @@ def decode_scan_coefficients(stream: JpegStream, scan: Scan, buf: np.ndarray) ->
                 break  # symbol would cross the padded segment end
             reader.p += length
             pos += run
-            if sym != 0 and pos < total_positions:
+            # writes are clamped to the segment's own position range so a
+            # corrupt segment's final run cannot overrun into the next
+            # segment (mirrored by the device decoder's per-lane bound)
+            if sym != 0 and pos < bound:
                 du, idx = divmod(pos, C.DATA_UNIT_SIZE)
                 out[du * C.DATA_UNIT_SIZE + natural[idx]] = sym
             pos += 1
+            z += run + 1
+            if z >= 64:
+                z = 0
+                c += 1
+                if c >= du_per_mcu:
+                    c = 0
+    return out
+
+
+def sequential_boundary_states(stream: JpegStream, scan: Scan,
+                               buf: np.ndarray) -> np.ndarray:
+    """Decoder state at every subsequence boundary, computed sequentially.
+
+    Returns int32[num_subsequences, 4] rows ``(p, c, z, n)`` exactly matching
+    the device decoder's converged ``sync_states`` output: ``p`` is the
+    segment-relative bit position after the last symbol that fits inside
+    subsequence ``i`` (a symbol crossing the 1024-bit boundary belongs to the
+    next subsequence), ``c``/``z`` the data-unit slot and zig-zag index there,
+    ``n`` the coefficient positions (sum of run+1) produced by subsequence
+    ``i``. Like the device sync pass — and unlike
+    :func:`decode_scan_coefficients` — this decodes by *bits alone*, running
+    through the zero padding at each segment tail, because the speculative
+    lanes have no position bound while synchronizing.
+    """
+    destuffed = destuff_scan_host(buf, scan)
+    du_per_mcu = scan.num_data_units_in_mcu
+    dc_tbl: List[HuffmanTable] = []
+    ac_tbl: List[HuffmanTable] = []
+    for sc in scan.components:
+        t_dc = scan.huff_tables[sc.dc_table_id * C.HUFF_COUNT + C.HUFF_DC]
+        t_ac = scan.huff_tables[sc.ac_table_id * C.HUFF_COUNT + C.HUFF_AC]
+        for _ in range(sc.du_per_mcu):
+            dc_tbl.append(t_dc)
+            ac_tbl.append(t_ac)
+
+    out = np.zeros((scan.num_subsequences, 4), np.int32)
+    for s in range(scan.num_segments):
+        subseq_off, subseq_cnt = int(scan.segments[s, 0]), int(scan.segments[s, 1])
+        seg_bytes = destuffed[
+            subseq_off * C.SUBSEQ_SIZE_BYTES:
+            (subseq_off + subseq_cnt) * C.SUBSEQ_SIZE_BYTES]
+        reader = _BitReader(seg_bytes)
+        c = z = n_cur = 0
+        k = 0  # subsequence (rel) index currently being decoded
+        while k < subseq_cnt:
+            bits32 = reader.peek32()
+            if z == 0:
+                cat, cat_len = _decode_category(dc_tbl[c], bits32)
+                run = 0
+                length = cat_len + (cat if cat else 0)
+            else:
+                v, cat_len = _decode_category(ac_tbl[c], bits32)
+                run, cat = v >> 4, v & 0xF
+                if cat == 0:
+                    run = 15 if run == 15 else 63 - z
+                length = cat_len + cat
+            # hand off at every boundary the next symbol would cross
+            while k < subseq_cnt and reader.p + length > (k + 1) * C.SUBSEQ_SIZE_BITS:
+                out[subseq_off + k] = (reader.p, c, z, n_cur)
+                n_cur = 0
+                k += 1
+            if k >= subseq_cnt:
+                break
+            reader.p += length
+            n_cur += run + 1
             z += run + 1
             if z >= 64:
                 z = 0

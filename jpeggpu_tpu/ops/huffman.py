@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..config import Tuning
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,8 @@ class ScanConfig:
     # canonical-limit fast symbol decode; host parser sets this False when a
     # table's code space saturates (tables.py: HuffmanTable.saturated)
     fast_tables: bool = True
+    # static tuning knobs (part of the executable cache key)
+    tuning: Tuning = Tuning()
 
     @property
     def total_positions(self) -> int:
@@ -105,7 +108,6 @@ class _Ctx:
     limits: jax.Array  # uint32[8,16] running-max first-code-beyond-length-l
     dvsm: jax.Array  # int32[8,16] vsm[l+1]-vsm[l] deltas
     vsm0: jax.Array  # int32[8] vsm at length 1
-    hv16: jax.Array  # bfloat16[8,16,16] huffval as 16x16 for MXU lookup
 
 
 def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
@@ -137,7 +139,6 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
     vsm = arrs.vsm
     dvsm = jnp.concatenate([vsm[:, 1:] - vsm[:, :-1],
                             jnp.zeros((C.MAX_HUFF_PER_SCAN, 1), jnp.int32)], axis=1)
-    hv16 = arrs.huffval.reshape(C.MAX_HUFF_PER_SCAN, 16, 16).astype(jnp.bfloat16)
 
     lane = jnp.arange(lanes, dtype=jnp.int32)
     rel = lane - arrs.seg_first_lane
@@ -155,7 +156,6 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
         limits=limits,
         dvsm=dvsm,
         vsm0=vsm[:, 0],
-        hv16=hv16,
     )
 
 
@@ -174,7 +174,6 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
         limits=ctx.limits,
         dvsm=ctx.dvsm,
         vsm0=ctx.vsm0,
-        hv16=ctx.hv16,
     )
 
 
@@ -345,11 +344,6 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return length, sym, run
 
 
-# symbol decodes per loop iteration: amortizes the per-iteration fixed cost
-# (carry traffic + loop plumbing) which otherwise dominates the VPU work
-_UNROLL = 8
-
-
 def _symbol_step(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                  p, c, z, active):
     """One masked symbol step; returns (p, c, z, run, commit) after it."""
@@ -378,7 +372,9 @@ def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     def body(state):
         p, c, z, n, active, _ = state
-        for _u in range(_UNROLL):
+        # unrolled: amortizes the per-iteration fixed cost (carry traffic +
+        # loop plumbing) which otherwise dominates the VPU work
+        for _u in range(cfg.tuning.unroll):
             p, c, z, _, run, active = _symbol_step(cfg, arrs, ctx, p, c, z,
                                                    active)
             n = jnp.where(active, n + run + 1, n)
@@ -395,7 +391,7 @@ def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
-                frontier_width: int = 2048):
+                frontier_width: int | None = None):
     """Fixed-point synchronization of subsequence decoder states.
 
     Round 0 decodes every subsequence speculatively ("blind"); round 1
@@ -411,6 +407,8 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     decoding subsequence i, with n the per-subsequence symbol count.
     """
     lanes = cfg.lanes
+    if frontier_width is None:
+        frontier_width = cfg.tuning.frontier_width
     K = min(frontier_width, lanes)
     blind_p = ctx.rel * C.SUBSEQ_SIZE_BITS
     zeros = jnp.zeros(lanes, jnp.int32)
@@ -501,7 +499,7 @@ def symbol_offsets(cfg: ScanConfig, arrs: ScanArrays, n: jax.Array) -> jax.Array
 
 
 def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
-                 chunk: int = 256, straggler_width: int = 4096,
+                 chunk: int | None = None, straggler_width: int | None = None,
                  pos_base=None, bound=None,
                  total_out: int | None = None) -> jax.Array:
     """Final writing decode: re-decode every subsequence once from its synced
@@ -514,6 +512,10 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
 
     Returns int16[total_positions].
     """
+    if chunk is None:
+        chunk = cfg.tuning.write_chunk
+    if straggler_width is None:
+        straggler_width = cfg.tuning.straggler_width
     lanes = cfg.lanes
     natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
 
@@ -539,19 +541,23 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
         def round_body(p, c, z, pos, active, out):
             def inner(k, istate):
                 p, c, z, pos, active, wpos_buf, wval_buf = istate
-                for u in range(_UNROLL):
+                for u in range(cfg.tuning.unroll):
                     alive = active & (pos < bound)
                     p, c, z, sym, run, commit = _symbol_step(
                         cfg, arrs, cctx, p, c, z, alive)
                     wpos = pos + run
-                    do_write = commit & (sym != 0) & (wpos < total)
+                    # clamp writes to the lane's segment bound so a corrupt
+                    # segment's final run cannot overrun into the next
+                    # segment's range (XLA leaves duplicate-index scatter
+                    # winners unspecified; golden clamps identically)
+                    do_write = commit & (sym != 0) & (wpos < bound)
                     du = wpos // C.DATA_UNIT_SIZE
                     iz = wpos % C.DATA_UNIT_SIZE
                     # zig-zag -> natural via one-hot over the 64-entry table
                     oh = jnp.arange(64, dtype=jnp.int32)[:, None] == iz[None, :]
                     nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
                     tgt = du * C.DATA_UNIT_SIZE + nat
-                    slot = k * _UNROLL + u
+                    slot = k * cfg.tuning.unroll + u
                     wpos_buf = wpos_buf.at[:, slot].set(
                         jnp.where(do_write, tgt, total))
                     wval_buf = wval_buf.at[:, slot].set(
@@ -564,7 +570,7 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
             wpos_buf = jnp.full((width, chunk), total, jnp.int32)
             wval_buf = jnp.zeros((width, chunk), jnp.int16)
             p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
-                0, chunk // _UNROLL, inner,
+                0, chunk // cfg.tuning.unroll, inner,
                 (p, c, z, pos, active, wpos_buf, wval_buf))
             out = out.at[wpos_buf.reshape(-1)].set(
                 wval_buf.reshape(-1), mode="drop", unique_indices=False)
@@ -607,6 +613,176 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     return out[:total]
 
 
+# --- dense-emission write path (TPU production default) ---------------------
+#
+# The element-granular scatter of decode_write costs XLA-TPU ~7ns per emitted
+# slot — ~60ms on a 12MP image, by far the largest stage. This formulation
+# splits the writing decode into:
+#
+#   1. emit: re-decode every subsequence once from its synced state, writing
+#      each committed symbol's (position, value) *densely* at (slot, lane) —
+#      pure row writes, no scatter (decode_write_emit);
+#   2. assemble: turn the dense emission into (data_unit, 64) coefficient
+#      tiles with batched one-hot matmuls on the MXU, then place whole tiles
+#      with a windowed scatter-add — cutting scatter indices by ~64 x
+#      (assemble_coefficients).
+#
+# Correct because lane position ranges are disjoint by construction (positions
+# strictly increase within a lane; lane l writes exactly [pos0_l, pos0_l+m_l)
+# clamped to its segment bound), so add == set, and zero values are no-ops.
+# The reference scatters from shared memory per thread block instead
+# (decode_huffman.cu:627-682) — a GPU-shape with no TPU analog.
+
+# symbols per assembly round; any 64-coefficient data unit consumes >= 2
+# symbols (its DC symbol + at least one AC symbol before the zig-zag index
+# can wrap), so _ASM_R consecutive symbols of one lane touch at most
+# _ASM_R // 2 + 1 data units
+_ASM_R = 128
+_ASM_D = 72  # du-window rows per assembly tile (>= _ASM_R // 2 + 1)
+
+
+def _emit_cap(chunk: int) -> int:
+    """Static bound on committed symbols per subsequence: one per bit of the
+    1024-bit subsequence, plus the <=31-bit overhang a lane can inherit when
+    its predecessor stopped short of the boundary; rounded to whole chunks."""
+    cap = C.SUBSEQ_SIZE_BITS + 32
+    return -(-cap // chunk) * chunk
+
+
+def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
+                      n_off, pos_base=None, bound=None,
+                      total_out: int | None = None):
+    """Writing decode, dense-emission form.
+
+    Returns ``(val, wpos, m)``: ``val[s, l]``/``wpos[s, l]`` are the value and
+    global output position of lane ``l``'s ``s``-th committed symbol (val 0
+    for non-writing symbols or positions clamped by the segment bound; wpos
+    -1 on slots past the lane's last commit), and ``m[l]`` the commit count.
+    """
+    lanes = cfg.lanes
+    chunk = cfg.tuning.write_chunk
+    unroll = cfg.tuning.unroll
+    s_cap = _emit_cap(chunk)
+    total = cfg.total_positions if total_out is None else total_out
+    seg = arrs.seg_of_subseq
+    seg_pos_base = seg * cfg.positions_per_seg if pos_base is None else pos_base
+    if bound is None:
+        bound_full = jnp.minimum((seg + 1) * cfg.positions_per_seg, total)
+    else:
+        bound_full = bound
+
+    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
+    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
+    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    pos0 = seg_pos_base + n_off
+
+    val = jnp.zeros((s_cap, lanes), jnp.int16)
+    wpos = jnp.full((s_cap, lanes), -1, jnp.int32)
+    m0 = jnp.zeros(lanes, jnp.int32)
+
+    def round_body(state):
+        p, c, z, pos, active, m, val, wpos, k = state
+
+        def inner(k2, istate):
+            p, c, z, pos, active, m, vbuf, wbuf = istate
+            for u in range(unroll):
+                alive = active & (pos < bound_full)
+                p, c, z, sym, run, commit = _symbol_step(
+                    cfg, arrs, ctx, p, c, z, alive)
+                wp = pos + run
+                emit_val = jnp.where(commit & (wp < bound_full), sym,
+                                     0).astype(jnp.int16)
+                slot = k2 * unroll + u
+                vbuf = vbuf.at[slot].set(emit_val)
+                wbuf = wbuf.at[slot].set(jnp.where(commit, wp, -1))
+                pos = jnp.where(commit, wp + 1, pos)
+                m = m + commit.astype(jnp.int32)
+                active = commit
+            return p, c, z, pos, active, m, vbuf, wbuf
+
+        vbuf = jnp.zeros((chunk, lanes), jnp.int16)
+        wbuf = jnp.full((chunk, lanes), -1, jnp.int32)
+        p, c, z, pos, active, m, vbuf, wbuf = jax.lax.fori_loop(
+            0, chunk // unroll, inner, (p, c, z, pos, active, m, vbuf, wbuf))
+        val = jax.lax.dynamic_update_slice(val, vbuf, (k * chunk, 0))
+        wpos = jax.lax.dynamic_update_slice(wpos, wbuf, (k * chunk, 0))
+        return p, c, z, pos, active, m, val, wpos, k + 1
+
+    def cond(state):
+        p, c, z, pos, active, m, _, _, k = state
+        return jnp.any(active & (pos < bound_full)) & (k < s_cap // chunk)
+
+    active0 = ctx.lane_valid & (pos0 < bound_full) & (sp < ctx.end_subseq)
+    state = (sp, sc, sz, pos0, active0, m0, val, wpos, jnp.int32(0))
+    _, _, _, _, _, m, val, wpos, _ = jax.lax.while_loop(cond, round_body,
+                                                        state)
+    return val, wpos, m
+
+
+def assemble_coefficients(val: jax.Array, wpos: jax.Array, m: jax.Array,
+                          total: int) -> jax.Array:
+    """Dense emission -> stream-order coefficients via MXU tile assembly.
+
+    Per round, each lane's next _ASM_R symbols become a (_ASM_D, 64) data-unit
+    tile by two one-hot products contracted on the MXU, and the tiles land in
+    the output with ONE windowed scatter-add per lane (64-wide rows), instead
+    of one scatter index per symbol slot.
+    """
+    s_cap, lanes = val.shape
+    assert total % C.DATA_UNIT_SIZE == 0
+    n_du = total // C.DATA_UNIT_SIZE
+    # zig-zag index of each natural position: nat(iz) == zz  <=>  iz == inv[zz]
+    inv_natural = np.argsort(np.asarray(C.ORDER_NATURAL)).astype(np.int32)
+    inv_nat = jnp.asarray(inv_natural)
+    iota_d = jnp.arange(_ASM_D, dtype=jnp.int32)
+
+    out = jnp.zeros((n_du + _ASM_D, C.DATA_UNIT_SIZE), jnp.int16)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+
+    num_rounds = jnp.minimum(-(-jnp.max(m) // _ASM_R), s_cap // _ASM_R)
+
+    def round_body(state):
+        out, r = state
+        w = jax.lax.dynamic_slice(wpos, (r * _ASM_R, 0), (_ASM_R, lanes))
+        v = jax.lax.dynamic_slice(val, (r * _ASM_R, 0), (_ASM_R, lanes))
+        # slot s of lane l is real iff s < m[l] (emission is a dense prefix)
+        s_idx = r * _ASM_R + jnp.arange(_ASM_R, dtype=jnp.int32)
+        valid = s_idx[:, None] < m[None, :]
+        w = jnp.maximum(w, 0)  # inert slots may carry garbage positions
+        du = w >> 6
+        iz = w & 63
+        # emission is a dense per-lane prefix: slot 0 inert => lane finished
+        du0 = jnp.where(valid[0], du[0], n_du)  # sentinel: zero-padded rows
+        d_local = jnp.clip(du - du0[None, :], 0, _ASM_D - 1)
+        # A[r_, l, d] one-hot of the symbol's local data unit
+        a = (d_local[:, :, None] == iota_d[None, None, :]) & valid[:, :, None]
+        # B[r_, l, zz] = value placed at its natural position within the du
+        b = jnp.where((iz[:, :, None] == inv_nat[None, None, :])
+                      & valid[:, :, None],
+                      v[:, :, None].astype(jnp.float32), 0.0)
+        tiles = jnp.einsum("rld,rlz->ldz", a.astype(jnp.float32), b,
+                           preferred_element_type=jnp.float32)
+        out = jax.lax.scatter_add(
+            out, du0[:, None], tiles.astype(jnp.int16), dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        return out, r + 1
+
+    out, _ = jax.lax.while_loop(lambda s: s[1] < num_rounds, round_body,
+                                (out, jnp.int32(0)))
+    return out[:n_du].reshape(-1)
+
+
+def _resolve_write_mode(cfg: ScanConfig) -> str:
+    mode = cfg.tuning.write_mode
+    if mode == "auto":
+        return "scatter" if jax.default_backend() == "cpu" else "matmul"
+    return mode
+
+
 def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
                 pos_base=None, bound=None,
                 total_out: int | None = None) -> jax.Array:
@@ -619,5 +795,11 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
     ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
     p, c, z, n = sync_states(cfg, arrs, ctx)
     n_off = symbol_offsets(cfg, arrs, n)
+    if _resolve_write_mode(cfg) == "matmul":
+        total = cfg.total_positions if total_out is None else total_out
+        val, wpos, m = decode_write_emit(
+            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
+            total_out=total_out)
+        return assemble_coefficients(val, wpos, m, total)
     return decode_write(cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
                         bound=bound, total_out=total_out)

@@ -135,6 +135,12 @@ def merge_scan_inputs(sp, per_image: List[Dict]) -> Dict[str, np.ndarray]:
     B = len(per_image)
     pps = cfg.positions_per_seg
     total = cfg.total_positions
+    # merged positions are int32 on device; callers (BatchDecoder) split
+    # oversized groups into sub-batches before reaching this point
+    if B * total >= 2 ** 31:
+        raise ValueError(
+            f"merged batch of {B} images x {total} positions overflows int32 "
+            f"position indices; split into sub-batches")
     words = np.concatenate([i["words"] for i in per_image])
     seg_of = np.concatenate([i["seg_of_subseq"] + b * cfg.num_segments
                              for b, i in enumerate(per_image)])
@@ -235,16 +241,27 @@ class BatchDecoder:
                         for s in range(len(sig.scans))))
             qtables = np.stack([bi["qtables"] for bi in batch_inputs])
             if use_merged:
-                merged = [merge_scan_inputs(sp, [bi["scans"][s]
-                                                 for bi in batch_inputs])
-                          for s, sp in enumerate(sig.scans)]
-                key = (sig, len(batch_inputs), self.with_idct, "merged")
-                exe = self._exec_cache.get(key)
-                if exe is None:
-                    exe = _merged_pipeline.lower(
-                        sig, merged, qtables, self.with_idct).compile()
-                    self._exec_cache[key] = exe
-                out = exe(merged, qtables)
+                # int32 position indices cap one merged decode at
+                # floor((2^31-1) / total_positions) images; larger groups
+                # run as several merged sub-batches
+                max_total = max(sp.cfg.total_positions for sp in sig.scans)
+                limit = max(1, (2 ** 31 - 1) // max_total)
+                chunks: List[np.ndarray] = []
+                for lo in range(0, len(batch_inputs), limit):
+                    sub = batch_inputs[lo:lo + limit]
+                    sub_q = qtables[lo:lo + limit]
+                    merged = [merge_scan_inputs(sp, [bi["scans"][s]
+                                                     for bi in sub])
+                              for s, sp in enumerate(sig.scans)]
+                    key = (sig, len(sub), self.with_idct, "merged")
+                    exe = self._exec_cache.get(key)
+                    if exe is None:
+                        exe = _merged_pipeline.lower(
+                            sig, merged, sub_q, self.with_idct).compile()
+                        self._exec_cache[key] = exe
+                    chunks.append(exe(merged, sub_q))
+                out = [np.concatenate([np.asarray(ch[k]) for ch in chunks])
+                       for k in range(len(chunks[0]))]
             else:
                 scans = [_stack([bi["scans"][s] for bi in batch_inputs])
                          for s in range(len(sig.scans))]

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
+from .config import Tuning, default_tuning
 from .ops.dc import undelta_dc
 from .ops.destuff import destuff_scan
 from .ops.huffman import ScanArrays, ScanConfig, decode_scan
@@ -74,7 +75,10 @@ class DecodePlan:
     stream: JpegStream
 
 
-def build_plan(stream: JpegStream, *, host_destuff: bool = True) -> DecodePlan:
+def build_plan(stream: JpegStream, *, host_destuff: bool = True,
+               tuning: Optional[Tuning] = None) -> DecodePlan:
+    if tuning is None:
+        tuning = default_tuning()
     scans = []
     for scan in stream.scans:
         lanes = _bucket(scan.num_subsequences)
@@ -103,6 +107,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True) -> DecodePlan:
             total_mcus=scan.num_mcus,
             comp_groups=tuple(comp_groups),
             fast_tables=fast_tables,
+            tuning=tuning,
         )
         scans.append(ScanPlanStatic(
             cfg=cfg,
@@ -197,8 +202,14 @@ def build_scan_inputs(buf: np.ndarray, stream: JpegStream, scan: Scan,
 def build_inputs(data: bytes | np.ndarray, plan: DecodePlan) -> Dict:
     buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
-    scans = [build_scan_inputs(buf, plan.stream, scan, sp)
-             for scan, sp in zip(plan.stream.scans, plan.signature.scans)]
+    try:
+        scans = [build_scan_inputs(buf, plan.stream, scan, sp)
+                 for scan, sp in zip(plan.stream.scans, plan.signature.scans)]
+    except MemoryError as exc:
+        from .errors import OutOfHostMemory
+
+        raise OutOfHostMemory(
+            f"host staging buffers exceed available memory: {exc}") from exc
     return dict(scans=scans, qtables=plan.stream.qtables.astype(np.int32))
 
 
@@ -269,14 +280,29 @@ def get_compiled(plan: DecodePlan, inputs, with_idct: bool = True):
 
 
 def decode_buffer_size(plan: DecodePlan, inputs, with_idct: bool = True) -> int:
-    """Device temporary-memory footprint of the compiled decode, in bytes —
-    the analog of jpeggpu_decoder_get_buffer_size (jpeggpu.h:87-88)."""
+    """Device memory footprint of the compiled decode, in bytes — the analog
+    of jpeggpu_decoder_get_buffer_size (jpeggpu.h:87-88).
+
+    Reports max(temporaries, arguments + outputs) from the executable's
+    memory analysis: backends that plan no named temporaries (CPU) still
+    report the real staging + result footprint, so the contract "memory is
+    knowable from the header" holds everywhere. Raises InternalError if the
+    backend exposes no memory analysis at all."""
+    from .errors import InternalError
+
     exe = get_compiled(plan, inputs, with_idct)
     try:
         mem = exe.memory_analysis()
-        return int(mem.temp_size_in_bytes)
-    except Exception:
-        return 0
+        temp = int(getattr(mem, "temp_size_in_bytes", 0))
+        args = int(getattr(mem, "argument_size_in_bytes", 0))
+        outs = int(getattr(mem, "output_size_in_bytes", 0))
+    except Exception as exc:  # noqa: BLE001 - backend-specific failures
+        raise InternalError(
+            f"compiled executable exposes no memory analysis: {exc!r}")
+    size = max(temp, args + outs)
+    if size <= 0:
+        raise InternalError("memory analysis reported a zero-size decode")
+    return size
 
 
 def decode_jpeg_device(data: bytes, *, with_idct: bool = True,

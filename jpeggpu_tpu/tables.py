@@ -122,10 +122,17 @@ def decode_category_scalar(table: HuffmanTable, bits32: int) -> tuple[int, int]:
     """Scalar canonical decode of one category symbol.
 
     ``bits32`` holds the next (up to) 32 bits MSB-aligned. Returns
-    (value, length). Total-on-garbage: replicates the device clamping
-    (index wrapped to uint8), cf. reference decode_huffman.cu:167-194.
+    (value, length). The 8-bit prefix LUT resolves codes of <= 8 bits in one
+    probe (the common case; reference reader.hpp:45-64 keeps the same LUT);
+    longer or unmatched prefixes fall back to the canonical maxcode walk.
+    Total-on-garbage: replicates the device clamping (index wrapped to
+    uint8), cf. reference decode_huffman.cu:167-194.
     """
-    for l in range(16):
+    probe = (bits32 >> (32 - LOOKUP_BITS)) & 0xFF
+    nbits = int(table.lut_nbits[probe])
+    if nbits:
+        return int(table.lut_value[probe]), nbits
+    for l in range(LOOKUP_BITS, 16):
         code = bits32 >> (31 - l)
         if code <= int(table.maxcode[l]) or l == 15:
             idx = (int(table.valptr_sub_mincode[l]) + code) & 0xFF
@@ -184,7 +191,9 @@ STD_AC_CHROMA = (
     ], np.uint8),
 )
 
-# Annex K quantization tables (luma, chroma), zig-zag order
+# Annex K quantization tables (luma, chroma), natural (raster) order — the
+# encoder divides raster-order DCT coefficients by these directly and only
+# converts through ORDER_NATURAL when emitting the DQT segment
 STD_QUANT_LUMA = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,

@@ -1,0 +1,160 @@
+"""Per-stage device timing harness (SURVEY §5 tracing/profiling).
+
+Times the entropy-decode stages in isolation on the default JAX device and
+prints a JSON stage budget. Each probe is a separately compiled executable
+whose output is synchronized on a tiny slice (full-plane D2H is excluded;
+see BENCH.md methodology). Stage costs are reported as deltas between
+nested probes:
+
+    rtt              empty-executable dispatch round trip
+    sync             make_ctx + sync_states (Jacobi fixed point)
+    emit  = e - s    decode_write_emit (dense (slot, lane) emission)
+    asm   = a - e    assemble_coefficients (MXU tiles + windowed scatter)
+    scatter = w - s  decode_write (element-granular scatter path)
+    full_matmul      whole pipeline, write_mode=matmul
+    full_scatter     whole pipeline, write_mode=scatter
+
+Usage: python scripts/stagebench.py [image] [--iters N] [--skip-full]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_IMAGE = "/root/reference/images/IMG_6510.JPG"
+
+
+def timeit(fn, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import huffman as H
+    from jpeggpu_tpu.pipeline import build_inputs, build_plan, get_compiled
+    from jpeggpu_tpu.reader import parse
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    image = args[0] if args else DEFAULT_IMAGE
+    iters = 10
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    skip_full = "--skip-full" in sys.argv
+
+    data = open(image, "rb").read()
+    stream = parse(data)
+    mp = stream.size_x * stream.size_y / 1e6
+    plan = build_plan(stream)
+    inputs = build_inputs(data, plan)
+    sp = plan.signature.scans[0]
+    cfg = sp.cfg
+    inp = jax.device_put(inputs["scans"][0])
+
+    def mk_arrs(i):
+        return H.ScanArrays(
+            words=i["words"], seg_of_subseq=i["seg_of_subseq"],
+            seg_first_lane=i["seg_first_lane"],
+            seg_num_subseq=i["seg_num_subseq"], maxcode=i["maxcode"],
+            vsm=i["vsm"], huffval=i["huffval"])
+
+    out = {"image": image, "mp": round(mp, 2), "lanes": cfg.lanes,
+           "num_subseq": cfg.num_subseq, "iters": iters,
+           "backend": jax.default_backend()}
+
+    def compile_probe(fn):
+        return jax.jit(fn).lower(inp).compile()
+
+    def run(exe):
+        return lambda: np.asarray(jax.tree.leaves(exe(inp))[0])[..., :1]
+
+    t0 = time.time()
+    empty = compile_probe(lambda i: i["maxcode"][0:1, 0:1] + 1)
+    out["rtt_ms"] = timeit(run(empty), iters) * 1e3
+    print(f"rtt: {out['rtt_ms']:.1f} ms  (compile+warm "
+          f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
+    def f_sync(i):
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        return p[0:1] + c[0:1] + z[0:1] + n[0:1]
+
+    def f_emit(i):
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        n_off = H.symbol_offsets(cfg, arrs, n)
+        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        return val[0:1, 0:1].astype(jnp.int32) + wpos[0:1, 0:1] + m[0:1]
+
+    def f_asm(i):
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        n_off = H.symbol_offsets(cfg, arrs, n)
+        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        coeffs = H.assemble_coefficients(val, wpos, m, cfg.total_positions)
+        return coeffs[0:1]
+
+    def f_scatter(i):
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        n_off = H.symbol_offsets(cfg, arrs, n)
+        return H.decode_write(cfg, arrs, ctx, p, c, z, n_off)[0:1]
+
+    probes = [("sync_ms", f_sync), ("sync_emit_ms", f_emit),
+              ("sync_emit_asm_ms", f_asm), ("sync_scatter_ms", f_scatter)]
+    for name, fn in probes:
+        t0 = time.time()
+        exe = compile_probe(fn)
+        out[name] = timeit(run(exe), iters) * 1e3
+        print(f"{name}: {out[name]:.1f} ms  (compile+warm "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
+    out["emit_ms"] = out["sync_emit_ms"] - out["sync_ms"]
+    out["asm_ms"] = out["sync_emit_asm_ms"] - out["sync_emit_ms"]
+    out["scatter_write_ms"] = out["sync_scatter_ms"] - out["sync_ms"]
+
+    if not skip_full:
+        for mode in ("matmul", "scatter"):
+            t0 = time.time()
+            plan_m = build_plan(stream, tuning=Tuning(write_mode=mode))
+            exe = get_compiled(plan_m, inputs, True)
+            dev_scans = jax.device_put(inputs["scans"])
+            dev_qt = jax.device_put(inputs["qtables"])
+
+            def go():
+                o = exe(dev_scans, dev_qt)
+                np.asarray(o[0][0:1, 0:1])
+
+            out[f"full_{mode}_ms"] = timeit(go, iters) * 1e3
+            out[f"full_{mode}_mps"] = mp / (out[f"full_{mode}_ms"] / 1e3)
+            print(f"full_{mode}: {out[f'full_{mode}_ms']:.1f} ms = "
+                  f"{out[f'full_{mode}_mps']:.1f} MP/s  (compile+warm "
+                  f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,11 +85,17 @@ def test_device_destuff_pipeline_bitexact(test_image):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
-def test_sync_states_match_sequential(test_image):
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]),
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3),
+    EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)], restart_interval=7,
+               quality=95),
+])
+def test_sync_states_match_sequential(test_image, spec):
     """Property: the Jacobi-synced per-subsequence states equal a sequential
-    decode's states at subsequence boundaries (the paper's correctness
-    condition)."""
-    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    decode's states at every subsequence boundary (the paper's correctness
+    condition), element for element."""
+    data = encode(test_image, spec)
     plan, inputs = _setup(data)
     sp = plan.signature.scans[0]
     cfg = sp.cfg
@@ -106,16 +112,48 @@ def test_sync_states_match_sequential(test_image):
 
     p, c, z, n = [np.asarray(x)[:cfg.num_subseq]
                   for x in jax.jit(f).lower(inp).compile()(inp)]
-    # total symbol count equals the golden decoder's position count
-    coeffs = golden.decode_scan_coefficients(
+    expect = golden.sequential_boundary_states(
         plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
-    # n sums to the number of coefficient positions decoded before padding;
-    # for a well-formed stream that's >= the total real positions
-    assert n.sum() >= cfg.total_positions or n.sum() > 0
-    # p is within each subsequence's bit range
-    rel = np.arange(cfg.num_subseq)
-    assert np.all(p <= (rel + 1) * C.SUBSEQ_SIZE_BITS)
-    assert np.all(p > rel * C.SUBSEQ_SIZE_BITS - 32)
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
+    EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)]),
+    EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], restart_interval=5,
+               quality=95),
+])
+def test_write_matmul_matches_golden(test_image, spec):
+    """The dense-emission + MXU tile-assembly write path is bit-identical to
+    the golden decoder (and hence to the scatter path)."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, spec)
+    plan = build_plan(parse(data), tuning=Tuning(write_mode="matmul"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+def test_write_matmul_garbage_stream(test_image):
+    """Matmul write path on a garbage scan body: deterministic and equal to
+    golden (exercises segment-bound clamping and inert-slot sentinels)."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image[..., 0], EncodeSpec(restart_interval=3))
+    s = parse(data)
+    scan = s.scans[0]
+    rng = np.random.default_rng(21)
+    body = rng.integers(0, 255, scan.end - scan.begin, dtype=np.uint8)
+    body[body == 0xFF] = 0x7F
+    garbled = data[:scan.begin] + body.tobytes() + data[scan.end:]
+    plan = build_plan(parse(garbled), tuning=Tuning(write_mode="matmul"))
+    d = decode_jpeg_device(garbled, plan=plan)
+    g = golden.decode(garbled)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
 def test_idct_int_reference_values():

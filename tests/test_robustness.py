@@ -73,6 +73,52 @@ def test_garbage_scan_body_decodes_deterministically(test_image):
         assert np.array_equal(a, b)
 
 
+def test_dnl_segment_is_skipped(test_image):
+    """A DNL segment after the scan (T.81 B.2.5) is skipped like any other
+    unknown-length construct (reference skip_segment path)."""
+    jax = pytest.importorskip("jax")
+    from jpeggpu_tpu import golden
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    # insert DNL (FFDC, length 4, 16-bit line count) just before EOI
+    assert data[-2:] == b"\xff\xd9"
+    dnl = b"\xff\xdc\x00\x04" + (45).to_bytes(2, "big")
+    patched = data[:-2] + dnl + data[-2:]
+    ref = golden.decode(data)
+    g = golden.decode(patched)
+    d = decode_jpeg_device(patched)
+    for a, b, c in zip(ref, g, d):
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c)
+
+
+def test_dangling_trailing_rst(test_image):
+    """A scan whose body ends in a dangling RST marker (creating an empty
+    final restart segment) decodes identically to the clean stream on both
+    golden and device paths."""
+    jax = pytest.importorskip("jax")
+    from jpeggpu_tpu import golden
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2))
+    s = parse(data)
+    scan = s.scans[0]
+    n_seg = scan.num_segments
+    # append one more RST marker at the end of the scan body
+    patched = data[:scan.end] + b"\xff\xd0" + data[scan.end:]
+    s2 = parse(patched)
+    assert s2.scans[0].num_segments == n_seg + 1
+    assert s2.scans[0].segments[-1, 1] == 0  # empty trailing segment
+    ref = golden.decode(data)
+    g = golden.decode(patched)
+    d = decode_jpeg_device(patched)
+    for a, b, c in zip(ref, g, d):
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c)
+
+
 def test_debug_mode_cross_checks(test_image):
     jax = pytest.importorskip("jax")
     from jpeggpu_tpu import Decoder, debug
