@@ -177,6 +177,12 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
     )
 
 
+def _iota_col(n: int) -> jax.Array:
+    """(n, 1) int32 iota — broadcasted_iota lowers inside Pallas kernels,
+    where captured constant arrays and 1D iota ops do not."""
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+
 def _load32(ctx: _Ctx, p: jax.Array) -> jax.Array:
     """Next 32 bits MSB-aligned at segment-relative bit p, zero past the
     segment end (reference reader semantics,
@@ -186,13 +192,17 @@ def _load32(ctx: _Ctx, p: jax.Array) -> jax.Array:
     b = (abs_bit & 31).astype(jnp.uint32)
     # index into the 34-word window; 0 is the previous lane's last word
     w_rel = w - ctx.lane_word0 + 1
-    iota = jnp.arange(34, dtype=jnp.int32)[:, None]
+    iota = _iota_col(34)
     oh0 = iota == w_rel[None, :]
     oh1 = iota == (w_rel + 1)[None, :]
-    w0 = jnp.sum(jnp.where(oh0, ctx.window, 0), axis=0, dtype=jnp.uint32)
-    w1 = jnp.sum(jnp.where(oh1, ctx.window, 0), axis=0, dtype=jnp.uint32)
-    w0 = jnp.where(w < ctx.word_end, w0, 0)
-    w1 = jnp.where(w + 1 < ctx.word_end, w1, 0)
+    # reduce in int32 (Mosaic has no unsigned reductions), bitcast back
+    win_i = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
+    w0 = jnp.sum(jnp.where(oh0, win_i, 0), axis=0)
+    w1 = jnp.sum(jnp.where(oh1, win_i, 0), axis=0)
+    w0 = jax.lax.bitcast_convert_type(
+        jnp.where(w < ctx.word_end, w0, 0), jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(
+        jnp.where(w + 1 < ctx.word_end, w1, 0), jnp.uint32)
     hi = w0 << b
     lo = jnp.where(b > 0, w1 >> ((np.uint32(32) - b) & np.uint32(31)), 0)
     return hi | lo
@@ -219,10 +229,10 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                    data: jax.Array, c: jax.Array, is_dc: jax.Array):
     """maxcode-comparison category decode (handles saturated tables)."""
     # category code: first length l (1..16) whose l-bit prefix <= maxcode[l]
-    shifts = np.uint32(31) - np.arange(16, dtype=np.uint32)
-    codes = (data[None, :] >> shifts[:, None]).astype(jnp.int32)  # (16, S)
+    iota16_col = _iota_col(16)
+    shifts = (31 - iota16_col).astype(jnp.uint32)
+    codes = (data[None, :] >> shifts).astype(jnp.int32)  # (16, S)
     maxc = _select_rows_t(cfg, arrs.maxcode, c, is_dc)
-    iota16_col = jnp.arange(16, dtype=jnp.int32)[:, None]
     # l=16 always terminates (:182-186)
     le = jnp.logical_or(codes <= maxc, iota16_col == 15)
     l_idx = jnp.argmax(le, axis=0).astype(jnp.int32)  # first match, 0-based
@@ -236,7 +246,7 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     # symbol value: one-hot over the packed 64-word huffval row + byte extract
     word_i = idx >> 2
     byte_i = idx & 3
-    iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
+    iota64 = _iota_col(64)
     oh_w = iota64 == word_i[None, :]
     groups = cfg.comp_groups
 
@@ -287,7 +297,7 @@ def _category_fast(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     # formulation was tried and lost: 16-wide contractions underutilize it)
     word_i = idx >> 2
     byte_i = idx & 3
-    iota64 = jnp.arange(64, dtype=jnp.int32)[:, None]
+    iota64 = _iota_col(64)
     oh_w = iota64 == word_i[None, :]
 
     def hv_row(g):
@@ -361,14 +371,31 @@ def _symbol_step(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return p, c, z, sym, run, commit
 
 
+def _resolve_entropy_backend(cfg: ScanConfig) -> str:
+    backend = cfg.tuning.entropy_backend
+    if backend == "auto":
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return backend
+
+
 def _decode_subseq_pass(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                         p0, c0, z0, active0):
     """Decode each lane's own subsequence from the given start state.
 
     Per-lane loop until the next symbol would cross the lane's subsequence
     end (decode_subsequence, decode_huffman.cu:302-394, do_write=false).
-    Returns (p, c, z, n).
+    Returns (p, c, z, n). Dispatches to the fused Pallas kernel or the XLA
+    loop per cfg.tuning.entropy_backend.
     """
+    if _resolve_entropy_backend(cfg) == "pallas":
+        from . import huffman_pallas
+
+        return huffman_pallas.subseq_pass(cfg, arrs, ctx, p0, c0, z0, active0)
+    return _decode_subseq_pass_xla(cfg, arrs, ctx, p0, c0, z0, active0)
+
+
+def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                            p0, c0, z0, active0):
 
     def body(state):
         p, c, z, n, active, _ = state
@@ -498,6 +525,53 @@ def symbol_offsets(cfg: ScanConfig, arrs: ScanArrays, n: jax.Array) -> jax.Array
     return excl - base
 
 
+def _make_write_round(cfg: ScanConfig, arrs: ScanArrays, cctx: _Ctx, bound,
+                      total: int, chunk: int):
+    """One writing-decode round: `chunk` symbol steps buffered per lane, then
+    a single element-granular scatter into the coefficient stream."""
+    natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
+
+    def round_body(p, c, z, pos, active, out):
+        def inner(k, istate):
+            p, c, z, pos, active, wpos_buf, wval_buf = istate
+            for u in range(cfg.tuning.unroll):
+                alive = active & (pos < bound)
+                p, c, z, sym, run, commit = _symbol_step(
+                    cfg, arrs, cctx, p, c, z, alive)
+                wpos = pos + run
+                # clamp writes to the lane's segment bound so a corrupt
+                # segment's final run cannot overrun into the next segment's
+                # range (XLA leaves duplicate-index scatter winners
+                # unspecified; golden clamps identically)
+                do_write = commit & (sym != 0) & (wpos < bound)
+                du = wpos // C.DATA_UNIT_SIZE
+                iz = wpos % C.DATA_UNIT_SIZE
+                # zig-zag -> natural via one-hot over the 64-entry table
+                oh = np.arange(64, dtype=np.int32)[:, None] == iz[None, :]
+                nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
+                tgt = du * C.DATA_UNIT_SIZE + nat
+                slot = k * cfg.tuning.unroll + u
+                wpos_buf = wpos_buf.at[:, slot].set(
+                    jnp.where(do_write, tgt, total))
+                wval_buf = wval_buf.at[:, slot].set(
+                    jnp.where(do_write, sym, 0).astype(jnp.int16))
+                pos = jnp.where(commit, wpos + 1, pos)
+                active = commit
+            return p, c, z, pos, active, wpos_buf, wval_buf
+
+        width = p.shape[0]
+        wpos_buf = jnp.full((width, chunk), total, jnp.int32)
+        wval_buf = jnp.zeros((width, chunk), jnp.int16)
+        p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
+            0, chunk // cfg.tuning.unroll, inner,
+            (p, c, z, pos, active, wpos_buf, wval_buf))
+        out = out.at[wpos_buf.reshape(-1)].set(
+            wval_buf.reshape(-1), mode="drop", unique_indices=False)
+        return p, c, z, pos, active, out
+
+    return round_body
+
+
 def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
                  chunk: int | None = None, straggler_width: int | None = None,
                  pos_base=None, bound=None,
@@ -517,8 +591,6 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     if straggler_width is None:
         straggler_width = cfg.tuning.straggler_width
     lanes = cfg.lanes
-    natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
-
     total = cfg.total_positions if total_out is None else total_out
     seg = arrs.seg_of_subseq
     seg_pos_base = seg * cfg.positions_per_seg if pos_base is None else pos_base
@@ -537,48 +609,8 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
 
     out = jnp.zeros(total + 1, jnp.int16)  # +1: slot `total` absorbs drops
 
-    def make_round(cctx, bound):
-        def round_body(p, c, z, pos, active, out):
-            def inner(k, istate):
-                p, c, z, pos, active, wpos_buf, wval_buf = istate
-                for u in range(cfg.tuning.unroll):
-                    alive = active & (pos < bound)
-                    p, c, z, sym, run, commit = _symbol_step(
-                        cfg, arrs, cctx, p, c, z, alive)
-                    wpos = pos + run
-                    # clamp writes to the lane's segment bound so a corrupt
-                    # segment's final run cannot overrun into the next
-                    # segment's range (XLA leaves duplicate-index scatter
-                    # winners unspecified; golden clamps identically)
-                    do_write = commit & (sym != 0) & (wpos < bound)
-                    du = wpos // C.DATA_UNIT_SIZE
-                    iz = wpos % C.DATA_UNIT_SIZE
-                    # zig-zag -> natural via one-hot over the 64-entry table
-                    oh = jnp.arange(64, dtype=jnp.int32)[:, None] == iz[None, :]
-                    nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
-                    tgt = du * C.DATA_UNIT_SIZE + nat
-                    slot = k * cfg.tuning.unroll + u
-                    wpos_buf = wpos_buf.at[:, slot].set(
-                        jnp.where(do_write, tgt, total))
-                    wval_buf = wval_buf.at[:, slot].set(
-                        jnp.where(do_write, sym, 0).astype(jnp.int16))
-                    pos = jnp.where(commit, wpos + 1, pos)
-                    active = commit
-                return p, c, z, pos, active, wpos_buf, wval_buf
-
-            width = p.shape[0]
-            wpos_buf = jnp.full((width, chunk), total, jnp.int32)
-            wval_buf = jnp.zeros((width, chunk), jnp.int16)
-            p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
-                0, chunk // cfg.tuning.unroll, inner,
-                (p, c, z, pos, active, wpos_buf, wval_buf))
-            out = out.at[wpos_buf.reshape(-1)].set(
-                wval_buf.reshape(-1), mode="drop", unique_indices=False)
-            return p, c, z, pos, active, out
-        return round_body
-
     K = min(straggler_width, lanes)
-    full_round = make_round(ctx, bound_full)
+    full_round = _make_write_round(cfg, arrs, ctx, bound_full, total, chunk)
 
     def cond_a(state):
         p, c, z, pos, active, out = state
@@ -592,14 +624,34 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
     state = (sp, sc, sz, pos0, active0, out)
     p, c, z, pos, active, out = jax.lax.while_loop(cond_a, body_a, state)
 
-    # compact the stragglers and finish on narrow rounds
-    alive = active & (pos < bound_full)
+    out = scatter_finish(cfg, arrs, ctx, p, c, z, pos,
+                         active & (pos < bound_full), bound_full, out,
+                         total, chunk=chunk, width=K)
+    return out[:total]
+
+
+def scatter_finish(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
+                   pos, alive, bound_full, out, total: int, *,
+                   chunk: int | None = None,
+                   width: int | None = None) -> jax.Array:
+    """Finish a partially-written decode on compacted narrow rounds.
+
+    ``alive`` marks lanes with symbols left; their exact resume states are
+    (p, c, z, pos). Used for the straggler tail of :func:`decode_write` and
+    for the rare window-overflow lanes of the fused Pallas write kernel.
+    ``out`` must carry the extra drop slot at index ``total``.
+    """
+    if chunk is None:
+        chunk = cfg.tuning.write_chunk
+    lanes = cfg.lanes
+    K = min(width if width is not None else cfg.tuning.straggler_width, lanes)
+
     idx_raw = jnp.nonzero(alive, size=K, fill_value=-1)[0].astype(jnp.int32)
     valid = idx_raw >= 0
     idx = jnp.clip(idx_raw, 0, lanes - 1)
     cctx = gather_ctx(ctx, idx, valid)
     bound_c = bound_full[idx]
-    comp_round = make_round(cctx, bound_c)
+    comp_round = _make_write_round(cfg, arrs, cctx, bound_c, total, chunk)
 
     def cond_b(state):
         p, c, z, pos, active, out = state
@@ -610,7 +662,7 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
 
     state_b = (p[idx], c[idx], z[idx], pos[idx], valid & alive[idx], out)
     _, _, _, _, _, out = jax.lax.while_loop(cond_b, body_b, state_b)
-    return out[:total]
+    return out
 
 
 # --- dense-emission write path (TPU production default) ---------------------
@@ -777,9 +829,13 @@ def assemble_coefficients(val: jax.Array, wpos: jax.Array, m: jax.Array,
 
 
 def _resolve_write_mode(cfg: ScanConfig) -> str:
+    """Write mode of the XLA entropy backend (the Pallas backend always uses
+    its fused du-window writer). Measured on TPU v5e (scripts/stagebench.py):
+    the all-XLA matmul assembly materializes its one-hot operands in HBM
+    (~2 GB/round) and loses to the element scatter, so auto = scatter."""
     mode = cfg.tuning.write_mode
     if mode == "auto":
-        return "scatter" if jax.default_backend() == "cpu" else "matmul"
+        return "scatter"
     return mode
 
 
@@ -795,6 +851,12 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
     ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
     p, c, z, n = sync_states(cfg, arrs, ctx)
     n_off = symbol_offsets(cfg, arrs, n)
+    if _resolve_entropy_backend(cfg) == "pallas":
+        from . import huffman_pallas
+
+        return huffman_pallas.decode_write_fused(
+            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
+            total_out=total_out)
     if _resolve_write_mode(cfg) == "matmul":
         total = cfg.total_positions if total_out is None else total_out
         val, wpos, m = decode_write_emit(

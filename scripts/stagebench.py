@@ -19,6 +19,7 @@ Usage: python scripts/stagebench.py [image] [--iters N] [--skip-full]
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -120,8 +121,24 @@ def main() -> int:
         n_off = H.symbol_offsets(cfg, arrs, n)
         return H.decode_write(cfg, arrs, ctx, p, c, z, n_off)[0:1]
 
+    cfg_p = dataclasses.replace(cfg, tuning=Tuning(entropy_backend="pallas"))
+
+    def f_sync_pallas(i):
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg_p, arrs)
+        p, c, z, n = H.sync_states(cfg_p, arrs, ctx)
+        return p[0:1] + c[0:1] + z[0:1] + n[0:1]
+
+    def f_scan_pallas(i):
+        arrs = mk_arrs(i)
+        return H.decode_scan(cfg_p, arrs)[0:1]
+
     probes = [("sync_ms", f_sync), ("sync_emit_ms", f_emit),
-              ("sync_emit_asm_ms", f_asm), ("sync_scatter_ms", f_scatter)]
+              ("sync_emit_asm_ms", f_asm), ("sync_scatter_ms", f_scatter),
+              ("sync_pallas_ms", f_sync_pallas),
+              ("scan_pallas_ms", f_scan_pallas)]
+    if "--only-pallas" in sys.argv:
+        probes = probes[4:]
     for name, fn in probes:
         t0 = time.time()
         exe = compile_probe(fn)
@@ -129,27 +146,35 @@ def main() -> int:
         print(f"{name}: {out[name]:.1f} ms  (compile+warm "
               f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
-    out["emit_ms"] = out["sync_emit_ms"] - out["sync_ms"]
-    out["asm_ms"] = out["sync_emit_asm_ms"] - out["sync_emit_ms"]
-    out["scatter_write_ms"] = out["sync_scatter_ms"] - out["sync_ms"]
+    if "sync_emit_ms" in out:
+        out["emit_ms"] = out["sync_emit_ms"] - out["sync_ms"]
+        out["asm_ms"] = out["sync_emit_asm_ms"] - out["sync_emit_ms"]
+        out["scatter_write_ms"] = out["sync_scatter_ms"] - out["sync_ms"]
+    if "scan_pallas_ms" in out and "sync_pallas_ms" in out:
+        out["write_pallas_ms"] = out["scan_pallas_ms"] - out["sync_pallas_ms"]
 
+    full_modes = []
     if not skip_full:
-        for mode in ("matmul", "scatter"):
-            t0 = time.time()
-            plan_m = build_plan(stream, tuning=Tuning(write_mode=mode))
-            exe = get_compiled(plan_m, inputs, True)
-            dev_scans = jax.device_put(inputs["scans"])
-            dev_qt = jax.device_put(inputs["qtables"])
+        full_modes = [("pallas", Tuning(entropy_backend="pallas"))]
+        if "--only-pallas" not in sys.argv:
+            full_modes += [("scatter", Tuning(entropy_backend="xla",
+                                              write_mode="scatter"))]
+    for mode, tuning in full_modes:
+        t0 = time.time()
+        plan_m = build_plan(stream, tuning=tuning)
+        exe = get_compiled(plan_m, inputs, True)
+        dev_scans = jax.device_put(inputs["scans"])
+        dev_qt = jax.device_put(inputs["qtables"])
 
-            def go():
-                o = exe(dev_scans, dev_qt)
-                np.asarray(o[0][0:1, 0:1])
+        def go():
+            o = exe(dev_scans, dev_qt)
+            np.asarray(o[0][0:1, 0:1])
 
-            out[f"full_{mode}_ms"] = timeit(go, iters) * 1e3
-            out[f"full_{mode}_mps"] = mp / (out[f"full_{mode}_ms"] / 1e3)
-            print(f"full_{mode}: {out[f'full_{mode}_ms']:.1f} ms = "
-                  f"{out[f'full_{mode}_mps']:.1f} MP/s  (compile+warm "
-                  f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+        out[f"full_{mode}_ms"] = timeit(go, iters) * 1e3
+        out[f"full_{mode}_mps"] = mp / (out[f"full_{mode}_ms"] / 1e3)
+        print(f"full_{mode}: {out[f'full_{mode}_ms']:.1f} ms = "
+              f"{out[f'full_{mode}_mps']:.1f} MP/s  (compile+warm "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}))

@@ -156,6 +156,43 @@ def test_write_matmul_garbage_stream(test_image):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
+    EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)], quality=95),
+])
+def test_pallas_entropy_backend_bitexact(test_image, spec):
+    """The fused Pallas sync + write kernels (interpret mode on CPU) are
+    bit-identical to the golden decoder."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, spec)
+    plan = build_plan(parse(data), tuning=Tuning(entropy_backend="pallas"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+def test_pallas_write_residual_lanes():
+    """A low-entropy image produces subsequences spanning more data units
+    than the kernel's VMEM window; those lanes must resume exactly on the
+    XLA straggler path."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import huffman_pallas
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    img = np.full((128, 136), 130, np.uint8)  # flat gray: ~3 bits per du
+    data = encode(img, EncodeSpec(quality=50))
+    stream = parse(data)
+    scan = stream.scans[0]
+    # sanity: the stream really exceeds the du window per subsequence
+    assert scan.total_data_units / scan.num_subsequences > huffman_pallas._WRITE_D
+    plan = build_plan(stream, tuning=Tuning(entropy_backend="pallas"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_idct_int_reference_values():
     """The integer IDCT matches a float IDCT within fixed-point tolerance
     and matches itself across numpy/jax exactly."""
