@@ -110,6 +110,32 @@ def _bench_pipelined(data, iters=ITERS, depth=2):
                 mps=mp / dt, img_s=1 / dt)
 
 
+def _bench_e2e(data, iters=ITERS):
+    """Honest end-to-end: host parse + destuff + H2D + decode + full-plane
+    D2H through the public five-phase API, per image, nothing excluded.
+    On this environment the development tunnel moves device I/O at
+    ~40 MB/s, so this is dominated by the 18 MB output transfer (on a real
+    host PCIe/ICI link it costs ~1 ms); reported for completeness."""
+    from jpeggpu_tpu import Decoder
+
+    stream_mp = None
+    d = Decoder()
+
+    def run_once():
+        nonlocal stream_mp
+        info = d.parse_header(data)
+        stream_mp = info.size_x * info.size_y / 1e6
+        d.transfer()
+        planes = d.decode()
+        return planes
+
+    s = _time_loop(run_once, iters, warmup=2)
+    s["mp"] = stream_mp
+    s["mps"] = stream_mp / (s["med_ms"] / 1e3)
+    s["img_s"] = 1e3 / s["med_ms"]
+    return s
+
+
 def _synth_config(name, size, restart_rows=True, quality=90):
     """Synthesize (and cache) a benchmark JPEG at `size` from IMG_6510."""
     os.makedirs(CACHE, exist_ok=True)
@@ -199,6 +225,11 @@ def main():
         bench_batch(iters)
 
     data = open(IMAGE, "rb").read()
+    if "--e2e" in sys.argv:
+        s = _bench_e2e(data, iters=iters)
+        print(f"e2e (incl. parse+destuff+H2D+full D2H): {s['img_s']:.2f} "
+              f"img/s, avg {s['avg_ms']:.1f} ms, {s['mps']:.1f} MP/s",
+              file=sys.stderr, flush=True)
     if "--pipelined" in sys.argv:
         s = _bench_pipelined(data, iters=iters)
         print(f"pipelined: {s['img_s']:.2f} img/s, {s['mps']:.1f} MP/s",

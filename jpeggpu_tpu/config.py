@@ -29,11 +29,14 @@ class Tuning:
       entropy_backend: "auto" | "xla" | "pallas" — implementation of the
         per-symbol decode loops. "auto" selects the fused Pallas kernels on
         TPU backends and the XLA formulation elsewhere.
-      write_mode: "auto" | "scatter" | "matmul" — coefficient
-        materialization. "scatter" is the element-granular scatter of
-        decode_write; "matmul" is the dense-emission + MXU tile-assembly
-        path (decode_write_emit/assemble_coefficients), ~64x fewer scatter
-        indices. "auto" selects matmul on TPU backends, scatter on CPU.
+      write_mode: "auto" | "scatter" | "matmul" | "tiles" | "fused" —
+        coefficient materialization. "scatter" is the element-granular
+        scatter of decode_write; "matmul" is the dense-emission + all-XLA
+        one-hot assembly (decode_write_emit/assemble_coefficients);
+        "tiles" is the dense-emission + Pallas MXU tile-assembly path
+        (ops/write_pallas.py) with zero scatters on the hot path; "fused"
+        is the single fused Pallas write kernel (ops/huffman_pallas.py).
+        "auto" selects tiles on TPU backends, scatter on CPU.
     """
 
     frontier_width: int = 2048
@@ -48,9 +51,10 @@ class Tuning:
             raise ValueError(
                 f"entropy_backend must be auto|xla|pallas, "
                 f"got {self.entropy_backend!r}")
-        if self.write_mode not in ("auto", "scatter", "matmul"):
+        if self.write_mode not in ("auto", "scatter", "matmul", "tiles",
+                                   "fused"):
             raise ValueError(
-                f"write_mode must be auto|scatter|matmul, "
+                f"write_mode must be auto|scatter|matmul|tiles|fused, "
                 f"got {self.write_mode!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width",
                      "unroll"):

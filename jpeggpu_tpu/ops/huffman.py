@@ -142,7 +142,16 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
 
     lane = jnp.arange(lanes, dtype=jnp.int32)
     rel = lane - arrs.seg_first_lane
-    n_sub = cfg.num_subseq if num_subseq is None else num_subseq
+    if num_subseq is None:
+        # data-driven validity: a lane is real iff its index within its
+        # segment is below the segment's subsequence count (padded lanes
+        # inherit the last segment's table entries, putting rel >= count).
+        # Keeping this off the static config lets images of equal geometry
+        # but different stream lengths share one executable (lanes is a
+        # shape bucket; the exact count rides in the staged arrays).
+        lane_valid = (rel >= 0) & (rel < arrs.seg_num_subseq)
+    else:
+        lane_valid = lane < num_subseq
     return _Ctx(
         window=window,
         hv_packed=hv_packed,
@@ -150,7 +159,7 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
         seg_base_bits=arrs.seg_first_lane * C.SUBSEQ_SIZE_BITS,
         end_subseq=(rel + 1) * C.SUBSEQ_SIZE_BITS,
         rel=rel,
-        lane_valid=lane < n_sub,
+        lane_valid=lane_valid,
         first_of_seg=rel == 0,
         lane_word0=lane * C.CHUNK_SIZE_WORDS,
         limits=limits,
@@ -829,13 +838,15 @@ def assemble_coefficients(val: jax.Array, wpos: jax.Array, m: jax.Array,
 
 
 def _resolve_write_mode(cfg: ScanConfig) -> str:
-    """Write mode of the XLA entropy backend (the Pallas backend always uses
-    its fused du-window writer). Measured on TPU v5e (scripts/stagebench.py):
-    the all-XLA matmul assembly materializes its one-hot operands in HBM
-    (~2 GB/round) and loses to the element scatter, so auto = scatter."""
+    """Coefficient materialization mode. Measured on TPU v5e
+    (scripts/stagebench.py, scripts/scatterbench.py): the all-XLA matmul
+    assembly materializes its one-hot operands in HBM (~2 GB/round) and the
+    element scatter costs ~7 ns/slot, so auto selects the Pallas
+    tile-assembly path (ops/write_pallas.py) on TPU and the scatter on CPU
+    backends (where XLA scatter is cheap and Pallas runs interpreted)."""
     mode = cfg.tuning.write_mode
     if mode == "auto":
-        return "scatter"
+        return "scatter" if jax.default_backend() == "cpu" else "tiles"
     return mode
 
 
@@ -851,13 +862,20 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
     ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
     p, c, z, n = sync_states(cfg, arrs, ctx)
     n_off = symbol_offsets(cfg, arrs, n)
-    if _resolve_entropy_backend(cfg) == "pallas":
+    mode = _resolve_write_mode(cfg)
+    if mode == "tiles":
+        from . import write_pallas
+
+        return write_pallas.decode_write_tiles(
+            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
+            total_out=total_out)
+    if mode == "fused":
         from . import huffman_pallas
 
         return huffman_pallas.decode_write_fused(
             cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
             total_out=total_out)
-    if _resolve_write_mode(cfg) == "matmul":
+    if mode == "matmul":
         total = cfg.total_positions if total_out is None else total_out
         val, wpos, m = decode_write_emit(
             cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,

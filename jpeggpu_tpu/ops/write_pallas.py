@@ -1,0 +1,335 @@
+"""Tile-assembly coefficient write path: MXU one-hot placement, no scatter.
+
+XLA:TPU scatter costs ~7-10 ns per index at *element* granularity even for
+windowed row updates (scripts/scatterbench.py), which put the reference-shape
+write stage (decode_huffman.cu:627-682 scatters from shared memory — a GPU
+shape with no TPU analog) at ~60 ms for a 12 MP image. This module rebuilds
+coefficient materialization so the hot path never scatters:
+
+1. *Records* come from the dense-emission decode
+   (ops/huffman.py decode_write_emit): value and stream position of each
+   committed symbol at ``(slot, lane)`` — writes at loop-counter positions.
+2. :func:`tiles_from_records` (Pallas): each lane's records become a
+   ``(D, 64)`` *tile* — row ``d`` holds data unit ``du0[lane] + d`` in
+   zig-zag order — via batched one-hot ``dot_general`` contractions over
+   128-slot rounds. The one-hot expansion that drowned the VPU (~2048x
+   wasted lanes/symbol) runs on the MXU, where it is ~100x cheaper; every
+   output cell receives at most one term (positions are unique), so f32
+   accumulation is exact.
+3. :func:`expand_tiles` (Pallas): output rows are produced in dense
+   128-data-unit blocks. Each block multi-hot-gathers matching tile rows
+   (``du0[lane] + d == row``) from a 64-lane slab selected by a
+   scalar-prefetched BlockSpec index map — a plain 2D matmul; rows shared
+   by two lanes (a subsequence ending mid-data-unit) sum naturally.
+4. Lanes whose tile window or lane slab overflows (low-entropy spans > D
+   data units; pathological streams piling >64 lanes into 128 data units)
+   are *leftover*: excluded from tiles and finished by a compacted
+   element scatter loop (:func:`scatter_leftover`) — correct for any
+   input, never taken on typical photographic content.
+
+Zig-zag -> natural coefficient order is deferred to a single static column
+permutation at the end (cheaper than a per-symbol one-hot in the kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+
+# tile rows per lane: covers subsequences spanning < _TILE_D data units
+_TILE_D = 96
+# record slots contracted per MXU round
+_ROUND_R = 128
+# lanes per tiles-kernel block
+_TILE_BLOCK = 64
+# output data units per expand-kernel block (the slab window is 2 aligned
+# 32-lane blocks = 64 candidate lanes)
+_GROUP_DU = 128
+_SLAB = 32
+# compacted width of one leftover-scatter round
+_LEFTOVER_K = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _tiles_kernel(s_cap, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
+                  tiles_out, acc_ref):
+    # val_ref/wpos_ref are lane-major (wl, s_cap): the slot axis is the
+    # Mosaic minor dimension (multiple of 128); per-lane scalars ride as
+    # (wl, 1) columns
+    inc = inc_ref[:, 0] != 0
+    m = jnp.where(inc, m_ref[:, 0], 0)
+    mmax = jnp.max(m)
+    du0 = du0_ref[:, 0]
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _TILE_D), 2)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _ROUND_R, 1), 1)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def round_body(state):
+        r = state
+        v = val_ref[:, pl.ds(r * _ROUND_R, _ROUND_R)].astype(jnp.int32)
+        w = wpos_ref[:, pl.ds(r * _ROUND_R, _ROUND_R)]
+        slot = r * _ROUND_R + iota_s  # (1, s, 1)
+        valid = ((slot < m[:, None, None]) & (w[:, :, None] >= 0)
+                 & inc[:, None, None])
+        d_rel = (w >> 6) - du0[:, None]
+        iz = w & 63
+        valid = valid & (d_rel[:, :, None] >= 0) \
+            & (d_rel[:, :, None] < _TILE_D)
+        # batched one-hot contraction on the MXU: (l, s, D) x (l, s, 64)
+        # -> (l, D, 64); at most one slot hits a given (l, d, z), so f32 is
+        # exact (|val| < 2^15 << 2^24)
+        a = jnp.where((d_rel[:, :, None] == iota_d) & valid, 1.0, 0.0)
+        b = jnp.where(iz[:, :, None] == iota_z,
+                      v[:, :, None].astype(jnp.float32), 0.0)
+        acc_ref[:] += jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return r + 1
+
+    jax.lax.while_loop(lambda r: r * _ROUND_R < mmax, round_body,
+                       jnp.int32(0))
+    tiles_out[:] = acc_ref[:].astype(jnp.int16)
+
+
+def tiles_from_records(val, wpos, m, du0, include):
+    """Records -> per-lane (D, 64) zig-zag data-unit tiles.
+
+    ``include`` masks leftover lanes to zero tiles. Returns
+    int16[lanes, _TILE_D, 64].
+    """
+    s_cap, lanes = val.shape
+    if s_cap % _ROUND_R:  # pad to whole MXU rounds; padding slots are inert
+        pad = _ROUND_R - s_cap % _ROUND_R
+        val = jnp.pad(val, ((0, pad), (0, 0)))
+        wpos = jnp.pad(wpos, ((0, pad), (0, 0)), constant_values=-1)
+        s_cap += pad
+    wl = min(_TILE_BLOCK, lanes)
+    grid = (lanes // wl,)
+
+    def col(x):
+        return x.astype(jnp.int32).reshape(lanes, 1)
+
+    col_spec = pl.BlockSpec((wl, 1), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((wl, s_cap), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    tiles = pl.pallas_call(
+        functools.partial(_tiles_kernel, s_cap),
+        grid=grid,
+        in_specs=[rec_spec, rec_spec, col_spec, col_spec, col_spec],
+        out_specs=pl.BlockSpec((wl, _TILE_D, 64), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lanes, _TILE_D, 64), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((wl, _TILE_D, 64), jnp.float32)],
+        # the per-block working set (records + one-hot operands + f32
+        # accumulator, double-buffered) exceeds Mosaic's default 16 MiB
+        # scoped-vmem budget; v5e cores carry 128 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(val.T, wpos.T, col(m), col(du0), col(include))
+    return tiles
+
+
+def _expand_kernel(q_ref, cand_a_ref, cand_b_ref, tile_a_ref, tile_b_ref,
+                   perm_ref, out_ref):
+    g = pl.program_id(0)
+    j = g * _GROUP_DU + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (_GROUP_DU, 1), 0)
+    acc = jnp.zeros((_GROUP_DU, 64), jnp.float32)
+    for cand_ref, tile_ref in ((cand_a_ref, tile_a_ref),
+                               (cand_b_ref, tile_b_ref)):
+        sel = jnp.where(cand_ref[:] == j, 1.0, 0.0)  # (G, SLAB*D)
+        acc += jax.lax.dot(sel, tile_ref[:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+    # zig-zag -> natural as one 64x64 permutation matmul (a host-side
+    # column gather of the 19M-element stream costs ~100 ms on XLA:TPU)
+    out_ref[:] = jax.lax.dot(
+        acc, perm_ref[:],
+        preferred_element_type=jnp.float32).astype(jnp.int16)
+
+
+def expand_tiles(tiles, du0, q, n_groups):
+    """Tiles -> dense (n_groups * _GROUP_DU, 64) *natural-order* rows.
+
+    ``q[g]`` is the aligned slab index: output group ``g`` gathers from
+    candidate lanes ``[32*q[g], 32*q[g] + 64)``. Row ``j`` sums tile rows
+    with ``du0[lane] + d == j`` — shared boundary rows combine here. The
+    in-data-unit zig-zag -> natural reorder happens in-kernel.
+    """
+    lanes = tiles.shape[0]
+    tiles2d = tiles.reshape(lanes, _TILE_D * 64).reshape(
+        lanes * _TILE_D, 64)
+    # cand[l*D + d] = du0[l] + d, flattened to match tiles2d rows; rows of
+    # excluded (zero-tile) lanes match harmlessly
+    cand = (du0[:, None] + jnp.arange(_TILE_D, dtype=jnp.int32)[None, :])
+    cand2d = cand.reshape(1, lanes * _TILE_D)
+    # perm[z, j] = 1 iff natural position j holds zig-zag index z
+    perm = np.zeros((64, 64), np.float32)
+    perm[np.arange(64), np.asarray(C.ORDER_NATURAL)] = 1.0
+
+    kd = _SLAB * _TILE_D
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, kd), lambda g, q: (0, q[g]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd), lambda g, q: (0, q[g] + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kd, 64), lambda g, q: (q[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kd, 64), lambda g, q: (q[g] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda g, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _expand_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
+                                       jnp.int16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q, cand2d, cand2d, tiles2d, tiles2d, jnp.asarray(perm))
+    return out
+
+
+def _lane_extents(wpos, m, du0):
+    """Per-lane record extent and tile-window overflow flag."""
+    s_cap, lanes = wpos.shape
+    slot = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
+    valid = (slot < m[None, :]) & (wpos >= 0)
+    max_du = jnp.max(jnp.where(valid, wpos >> 6, -1), axis=0)
+    span_over = (max_du - du0) >= _TILE_D
+    return span_over, max_du
+
+
+def _window_over(du0, q_of_group, lanes):
+    """Lanes falling above their first group's 64-lane slab window (the
+    first touched group is the worst case: q is nondecreasing along groups,
+    and the below-window side is impossible because the running-max search
+    anchors each group's slab at or before every lane that touches it)."""
+    n_groups = q_of_group.shape[0]
+    g_first = jnp.clip(du0 // _GROUP_DU, 0, n_groups - 1)
+    lane = jnp.arange(lanes, dtype=jnp.int32)
+    return (lane - _SLAB * q_of_group[g_first]) >= 2 * _SLAB
+
+
+def _slab_index(du0, max_du, include, lanes, n_groups):
+    """q[g]: aligned first-slab index of output group g, anchored at the
+    first *included* lane whose span reaches the group (leftover lanes are
+    excluded so one low-entropy lane cannot poison the window)."""
+    reach = jnp.where(include, max_du, -1)
+    reach = jax.lax.cummax(reach)
+    thresholds = jnp.arange(n_groups, dtype=jnp.int32) * _GROUP_DU
+    l0 = jnp.searchsorted(reach, thresholds, side="left").astype(jnp.int32)
+    return jnp.clip(l0 // _SLAB, 0, max(lanes // _SLAB - 2, 0))
+
+
+def scatter_leftover(out_flat, val, wpos, m, leftover, total):
+    """Element-scatter the records of leftover lanes, ``_LEFTOVER_K`` lanes
+    per compacted round until none remain. ``out_flat`` carries a drop slot
+    at index ``total`` and is in *natural* order (the expand kernel already
+    permuted); leftover targets convert zig-zag -> natural here. Never taken
+    on typical photographic content, so the per-record table lookup is
+    acceptable."""
+    s_cap, lanes = val.shape
+    K = min(_LEFTOVER_K, lanes)
+    slot_i = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
+    nat = jnp.asarray(np.asarray(C.ORDER_NATURAL, np.int32))
+
+    def body(state):
+        out, left = state
+        # fill slots get the OOB index `lanes` so the clearing scatter drops
+        # them — clipping them to a real lane would duplicate that index and
+        # XLA leaves the winner of duplicate scatter-sets unspecified (the
+        # stale True can win and the loop never terminates)
+        idx_raw = jnp.nonzero(left, size=K, fill_value=lanes)[0].astype(
+            jnp.int32)
+        sel = idx_raw < lanes
+        idx = jnp.clip(idx_raw, 0, lanes - 1)
+        v = val[:, idx].astype(jnp.int16)
+        w = wpos[:, idx]
+        mm = m[idx]
+        ok = sel[None, :] & (slot_i < mm[None, :]) & (w >= 0)
+        w = jnp.clip(w, 0, total - 1)
+        w_nat = ((w >> 6) << 6) | nat[w & 63]
+        tgt = jnp.where(ok, w_nat, total)
+        out = out.at[tgt.reshape(-1)].add(
+            jnp.where(ok, v, 0).reshape(-1), mode="drop",
+            unique_indices=False)
+        left = left.at[idx_raw].set(False, mode="drop")
+        return out, left
+
+    out_flat, _ = jax.lax.while_loop(
+        lambda s: jnp.any(s[1]), body, (out_flat, leftover))
+    return out_flat
+
+
+def assemble_tiles(val, wpos, m, du0, total: int):
+    """Full record assembly: tiles + expand + leftover + natural reorder.
+
+    Returns int16[total] stream-order coefficients (natural order within
+    each data unit, matching decode_write).
+    """
+    lanes = val.shape[1]
+    assert total % C.DATA_UNIT_SIZE == 0
+    n_du = total // C.DATA_UNIT_SIZE
+    # emitted positions can reach total + 62 (clamped zero-value symbols of
+    # the final partial segment); pad so their rows exist, plus a drop slot
+    n_groups = -(-(n_du + 2) // _GROUP_DU)
+    # du0 must be nondecreasing for the slab search: valid streams are by
+    # construction (lane position ranges are disjoint and sorted); padded
+    # lanes inherit via running max, and any lane the running max *moves*
+    # is routed to the leftover path rather than silently mis-tiled
+    du0_raw = du0
+    du0 = jax.lax.cummax(du0)
+    unsorted = du0 != du0_raw
+
+    span_over, max_du = _lane_extents(wpos, m, du0)
+    q1 = _slab_index(du0, max_du, ~(span_over | unsorted), lanes, n_groups)
+    leftover = span_over | unsorted | _window_over(du0, q1, lanes)
+    # the final q excludes window-overflow lanes too; it can only move slabs
+    # upward, so every lane that passed the q1 check still fits
+    q = _slab_index(du0, max_du, ~leftover, lanes, n_groups)
+
+    tiles = tiles_from_records(val, wpos, m, du0, ~leftover)
+    out2d = expand_tiles(tiles, du0, q, n_groups)  # natural order already
+
+    out_flat = out2d.reshape(-1)
+    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total)
+    return out_flat[:total]
+
+
+def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
+                       bound=None, total_out=None):
+    """Drop-in for ops.huffman.decode_write using the tile-assembly path."""
+    from . import huffman as H
+
+    total = cfg.total_positions if total_out is None else total_out
+    val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off,
+                                       pos_base=pos_base, bound=bound,
+                                       total_out=total_out)
+    seg = arrs.seg_of_subseq
+    seg_pos_base = (seg * cfg.positions_per_seg if pos_base is None
+                    else pos_base)
+    pos0 = seg_pos_base + n_off
+    du0 = pos0 >> 6
+    return assemble_tiles(val, wpos, m, du0, total)

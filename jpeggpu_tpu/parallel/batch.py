@@ -81,7 +81,6 @@ def _merged_scan_coeffs(sp, scans_merged, batch: int):
     )
     coeffs = decode_scan(
         cfg_m, arrs,
-        num_subseq=scans_merged["lane_bound"],
         pos_base=scans_merged["pos_base"],
         bound=scans_merged["pos_bound"],
         total_out=batch * cfg0.total_positions,
@@ -147,8 +146,6 @@ def merge_scan_inputs(sp, per_image: List[Dict]) -> Dict[str, np.ndarray]:
     seg_first = np.concatenate([i["seg_first_lane"] + b * L
                                 for b, i in enumerate(per_image)])
     seg_nsub = np.concatenate([i["seg_num_subseq"] for i in per_image])
-    lane_bound = np.concatenate([
-        np.full(L, b * L + cfg.num_subseq, np.int32) for b in range(B)])
     seg_local = np.concatenate([i["seg_of_subseq"] for i in per_image])
     img_of = np.repeat(np.arange(B, dtype=np.int64), L)
     pos_base = (img_of * total + seg_local.astype(np.int64) * pps)
@@ -156,7 +153,7 @@ def merge_scan_inputs(sp, per_image: List[Dict]) -> Dict[str, np.ndarray]:
         img_of * total
     return dict(
         words=words, seg_of_subseq=seg_of, seg_first_lane=seg_first,
-        seg_num_subseq=seg_nsub, lane_bound=lane_bound,
+        seg_num_subseq=seg_nsub,
         pos_base=pos_base.astype(np.int32),
         pos_bound=pos_bound.astype(np.int32),
         maxcode=per_image[0]["maxcode"], vsm=per_image[0]["vsm"],
@@ -171,6 +168,18 @@ def _tables_shared(per_image: List[Dict]) -> bool:
         np.array_equal(i["vsm"], first["vsm"]) and
         np.array_equal(i["huffval"], first["huffval"])
         for i in per_image[1:])
+
+
+def _geometry_key(sig: PlanSignature) -> PlanSignature:
+    """Signature with the content-dependent shape buckets erased: images
+    with equal keys can share an executable after padding to common
+    buckets."""
+    scans = tuple(
+        dataclasses.replace(
+            sp, scan_bytes_padded=0,
+            cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0))
+        for sp in sig.scans)
+    return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
 
 @dataclasses.dataclass
@@ -215,16 +224,34 @@ class BatchDecoder:
 
     def decode(self, datas: Sequence[bytes]) -> List[List[np.ndarray]]:
         """Decode a sequence of JPEGs; returns per-image component planes in
-        input order. Images are grouped by geometry bucket; batch sizes that
-        do not divide the mesh are padded by repeating the last image."""
+        input order. Images are grouped by *pixel geometry* (size, sampling,
+        restart structure); within a group the content-dependent shape
+        buckets (lane count, scan bytes) are padded up to the group maxima so
+        every image shares ONE executable — stream-length variation between
+        photographs of equal dimensions no longer recompiles. Batch sizes
+        that do not divide the mesh are padded by repeating the last image."""
+        parsed = [parse(data) for data in datas]
+        prelim = [build_plan(s) for s in parsed]
+        geo: Dict[PlanSignature, List[int]] = {}
+        for i, plan in enumerate(prelim):
+            geo.setdefault(_geometry_key(plan.signature), []).append(i)
+
         groups: Dict[PlanSignature, _Group] = {}
-        for i, data in enumerate(datas):
-            plan = build_plan(parse(data))
-            g = groups.get(plan.signature)
-            if g is None:
-                g = groups[plan.signature] = _Group(plan, [], [])
-            g.indices.append(i)
-            g.inputs.append(build_inputs(data, plan))
+        for idxs in geo.values():
+            nscans = len(prelim[idxs[0]].signature.scans)
+            pad = tuple(
+                (max(prelim[i].signature.scans[s].cfg.lanes for i in idxs),
+                 max(prelim[i].signature.scans[s].scan_bytes_padded
+                     for i in idxs))
+                for s in range(nscans))
+            for i in idxs:
+                plan = (prelim[i] if len(idxs) == 1
+                        else build_plan(parsed[i], pad_scans=pad))
+                g = groups.get(plan.signature)
+                if g is None:
+                    g = groups[plan.signature] = _Group(plan, [], [])
+                g.indices.append(i)
+                g.inputs.append(build_inputs(datas[i], plan))
 
         results: List[Optional[List[np.ndarray]]] = [None] * len(datas)
         for sig, g in groups.items():

@@ -76,12 +76,26 @@ class DecodePlan:
 
 
 def build_plan(stream: JpegStream, *, host_destuff: bool = True,
-               tuning: Optional[Tuning] = None) -> DecodePlan:
+               tuning: Optional[Tuning] = None,
+               pad_scans: Optional[Tuple[Tuple[int, int], ...]] = None
+               ) -> DecodePlan:
+    """Build the decode plan (static geometry) for a parsed stream.
+
+    ``pad_scans`` optionally gives per-scan ``(lanes_floor, bytes_floor)``
+    lower bounds for the shape buckets: :class:`BatchDecoder` pads every
+    image of a mixed group up to the group maxima so they share one
+    executable (the padding is inert — lane validity is data-driven, see
+    ops/huffman.py make_ctx).
+    """
     if tuning is None:
         tuning = default_tuning()
     scans = []
-    for scan in stream.scans:
+    for si, scan in enumerate(stream.scans):
         lanes = _bucket(scan.num_subsequences)
+        bytes_floor = 0
+        if pad_scans is not None and si < len(pad_scans):
+            lanes = max(lanes, pad_scans[si][0])
+            bytes_floor = pad_scans[si][1]
         comps = []
         for sc in scan.components:
             comp = stream.components[sc.component_idx]
@@ -99,7 +113,9 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         used_slots = {g[1] for g in comp_groups} | {g[2] for g in comp_groups}
         fast_tables = not any(scan.huff_tables[s].saturated for s in used_slots)
         cfg = ScanConfig(
-            num_subseq=scan.num_subsequences,
+            # bucketed: the exact subsequence count is data (staged segment
+            # tables), so equal-geometry images share an executable
+            num_subseq=lanes,
             lanes=lanes,
             num_segments=scan.num_segments,
             du_per_mcu=scan.num_data_units_in_mcu,
@@ -111,7 +127,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         )
         scans.append(ScanPlanStatic(
             cfg=cfg,
-            scan_bytes_padded=_bucket(scan.end - scan.begin, 1024),
+            scan_bytes_padded=max(_bucket(scan.end - scan.begin, 1024),
+                                  bytes_floor),
             num_segments_padded=_bucket(scan.num_segments, 64),
             num_mcus_x=scan.num_mcus_x,
             num_mcus_y=scan.num_mcus_y,
@@ -145,8 +162,13 @@ def _destuff_host(buf: np.ndarray, scan: Scan, lanes: int) -> np.ndarray:
     from .golden import destuff_scan_host
 
     body = buf[scan.begin:scan.end]
+    full = native.destuff_words(body, scan.segments[:, 0],
+                                scan.num_subsequences, lanes,
+                                seg_raw=scan.seg_raw)
+    if full is not None:
+        return full
     out = native.destuff_host(body, scan.segments[:, 0],
-                              scan.num_subsequences)
+                              scan.num_subsequences, seg_raw=scan.seg_raw)
     if out is None:
         out = destuff_scan_host(buf, scan)
     words = np.frombuffer(out.tobytes(), dtype=">u4").astype(np.uint32)

@@ -68,6 +68,10 @@ class Scan:
     num_segments: int = 0
     # int32[num_segments, 2]: (subseq_offset, subseq_count)
     segments: Optional[np.ndarray] = None
+    # int64[num_segments, 2]: stuffed byte span (start, end) of each segment
+    # relative to `begin` — end excludes the RST marker. Lets the native
+    # destuffer process segments in parallel (they are independent).
+    seg_raw: Optional[np.ndarray] = None
     # snapshot of the 8 Huffman tables at SOS time, layout [dc0,ac0,dc1,...]
     huff_tables: Optional[List[HuffmanTable]] = None
 
@@ -384,6 +388,7 @@ def parse(data: bytes | np.ndarray, *, log=None) -> JpegStream:
         subseq_counts = -(-seg_bytes // C.SUBSEQ_SIZE_BYTES)
         subseq_offsets = np.concatenate(([0], np.cumsum(subseq_counts)[:-1]))
         scan.segments = np.stack([subseq_offsets, subseq_counts], axis=1).astype(np.int32)
+        scan.seg_raw = np.stack([seg_starts, seg_ends], axis=1).astype(np.int64)
         scan.num_segments = len(subseq_counts)
         scan.num_subsequences = int(subseq_counts.sum())
         scan.end = cur.pos + scan_end_rel

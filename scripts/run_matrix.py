@@ -9,12 +9,19 @@ ways — golden CPU, device pipeline, libjpeg (PIL) — and reported as:
   MSE     luma MSE vs libjpeg (IDCT-rounding tolerance, ~0.2-1.0 expected,
           like the reference's nvJPEG comparison, test/test.cpp:299-314)
 
-Usage: python scripts/run_matrix.py [image.jpg|image.png]
+Usage: python scripts/run_matrix.py [image.jpg|image.png] [--json OUT]
+
+With ``--json OUT`` the per-variant results (plus backend and device) are
+recorded as a JSON artifact — run on the real TPU this is the on-device
+bit-exactness record (the analog of the reference's device-side test binary,
+test/test.cpp:162-214).
 """
 
 import io
+import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -43,8 +50,14 @@ VARIANTS = [
 
 
 def main():
-    if len(sys.argv) > 1:
-        img = np.array(Image.open(sys.argv[1]).convert("RGB"))
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if argv:
+        img = np.array(Image.open(argv[0]).convert("RGB"))
         if img.shape[0] > 512:
             img = np.array(Image.fromarray(img).resize((512, 384)))
     else:
@@ -53,8 +66,11 @@ def main():
         img = np.array(Image.fromarray(base).resize((201, 131),
                                                     Image.BILINEAR))
 
+    import jax
+
     print(f"{'variant':20s} {'exact':6s} {'luma MSE vs libjpeg':>20s}")
     failures = 0
+    records = []
     for name, spec in VARIANTS:
         if spec == "gray":
             data = encode(img[..., 0])
@@ -69,10 +85,22 @@ def main():
         y = (np.array(pil.convert("YCbCr"))[..., 0] if pil.mode != "L"
              else np.array(pil))
         mse = float(((dev[0].astype(int) - y.astype(int)) ** 2).mean())
-        print(f"{name:20s} {str(exact):6s} {mse:20.4f}")
+        print(f"{name:20s} {str(exact):6s} {mse:20.4f}", flush=True)
+        records.append(dict(variant=name, exact=bool(exact),
+                            luma_mse_vs_libjpeg=round(mse, 4)))
         if not exact or mse > 3.0:
             failures += 1
     print("FAILED" if failures else "OK")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(
+                backend=jax.default_backend(),
+                device=str(jax.devices()[0]),
+                when=time.strftime("%Y-%m-%dT%H:%M:%S"),
+                ok=not failures,
+                variants=records,
+            ), f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

@@ -52,11 +52,14 @@ def main() -> int:
     from jpeggpu_tpu.pipeline import build_inputs, build_plan, get_compiled
     from jpeggpu_tpu.reader import parse
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    image = args[0] if args else DEFAULT_IMAGE
     iters = 10
-    if "--iters" in sys.argv:
-        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    argv = sys.argv[1:]
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        iters = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    image = args[0] if args else DEFAULT_IMAGE
     skip_full = "--skip-full" in sys.argv
 
     data = open(image, "rb").read()
@@ -121,6 +124,30 @@ def main() -> int:
         n_off = H.symbol_offsets(cfg, arrs, n)
         return H.decode_write(cfg, arrs, ctx, p, c, z, n_off)[0:1]
 
+    def f_tiles(i):
+        from jpeggpu_tpu.ops import write_pallas as WP
+
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        n_off = H.symbol_offsets(cfg, arrs, n)
+        return WP.decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off)[0:1]
+
+    def f_tiles_stage1(i):
+        from jpeggpu_tpu.ops import write_pallas as WP
+
+        arrs = mk_arrs(i)
+        ctx = H.make_ctx(cfg, arrs)
+        p, c, z, n = H.sync_states(cfg, arrs, ctx)
+        n_off = H.symbol_offsets(cfg, arrs, n)
+        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        seg = arrs.seg_of_subseq
+        pos0 = seg * cfg.positions_per_seg + n_off
+        du0 = jax.lax.cummax(pos0 >> 6)
+        tiles = WP.tiles_from_records(val, wpos, m, du0,
+                                      jnp.ones(cfg.lanes, jnp.bool_))
+        return tiles[0:1, 0:1, 0:1]
+
     cfg_p = dataclasses.replace(cfg, tuning=Tuning(entropy_backend="pallas"))
 
     def f_sync_pallas(i):
@@ -135,10 +162,15 @@ def main() -> int:
 
     probes = [("sync_ms", f_sync), ("sync_emit_ms", f_emit),
               ("sync_emit_asm_ms", f_asm), ("sync_scatter_ms", f_scatter),
+              ("sync_emit_tiles_ms", f_tiles),
               ("sync_pallas_ms", f_sync_pallas),
               ("scan_pallas_ms", f_scan_pallas)]
     if "--only-pallas" in sys.argv:
-        probes = probes[4:]
+        probes = probes[5:]
+    if "--only-tiles" in sys.argv:
+        probes = [("sync_ms", f_sync), ("sync_emit_ms", f_emit),
+                  ("sync_emit_t1_ms", f_tiles_stage1),
+                  ("sync_emit_tiles_ms", f_tiles)]
     for name, fn in probes:
         t0 = time.time()
         exe = compile_probe(fn)
@@ -146,19 +178,26 @@ def main() -> int:
         print(f"{name}: {out[name]:.1f} ms  (compile+warm "
               f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
-    if "sync_emit_ms" in out:
+    if "sync_emit_ms" in out and "sync_ms" in out:
         out["emit_ms"] = out["sync_emit_ms"] - out["sync_ms"]
-        out["asm_ms"] = out["sync_emit_asm_ms"] - out["sync_emit_ms"]
-        out["scatter_write_ms"] = out["sync_scatter_ms"] - out["sync_ms"]
+        if "sync_emit_asm_ms" in out:
+            out["asm_ms"] = out["sync_emit_asm_ms"] - out["sync_emit_ms"]
+        if "sync_scatter_ms" in out:
+            out["scatter_write_ms"] = out["sync_scatter_ms"] - out["sync_ms"]
+        if "sync_emit_tiles_ms" in out:
+            out["tiles_ms"] = out["sync_emit_tiles_ms"] - out["sync_emit_ms"]
     if "scan_pallas_ms" in out and "sync_pallas_ms" in out:
         out["write_pallas_ms"] = out["scan_pallas_ms"] - out["sync_pallas_ms"]
 
     full_modes = []
     if not skip_full:
-        full_modes = [("pallas", Tuning(entropy_backend="pallas"))]
-        if "--only-pallas" not in sys.argv:
-            full_modes += [("scatter", Tuning(entropy_backend="xla",
-                                              write_mode="scatter"))]
+        full_modes = [("auto", Tuning())]
+        if "--only-pallas" not in sys.argv and "--only-tiles" not in sys.argv:
+            full_modes += [
+                ("fused", Tuning(entropy_backend="pallas",
+                                 write_mode="fused")),
+                ("scatter", Tuning(entropy_backend="xla",
+                                   write_mode="scatter"))]
     for mode, tuning in full_modes:
         t0 = time.time()
         plan_m = build_plan(stream, tuning=tuning)

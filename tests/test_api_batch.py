@@ -137,6 +137,45 @@ def test_merged_batch_bitexact(test_image):
             assert np.array_equal(a, b)
 
 
+def test_mixed_stream_lengths_share_one_executable():
+    """Images of equal pixel geometry but very different stream lengths
+    (different lane buckets) pad up to the group max and share ONE
+    executable (VERDICT r1 #9: cross-bucket padding policy)."""
+    flat = np.full((80, 96, 3), 128, np.uint8)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 255, (80, 96, 3)).astype(np.uint8)
+    datas = [encode(flat, EncodeSpec(quality=30)),
+             encode(noise, EncodeSpec(quality=95)),
+             encode(noise, EncodeSpec(quality=50))]
+    assert len(datas[1]) > 3 * len(datas[0])  # genuinely different buckets
+    dec = BatchDecoder()
+    out = dec.decode(datas)
+    assert len(dec._exec_cache) == 1
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
+def test_mixed_size_batch_two_executables(test_image):
+    """A batch with two pixel geometries compiles exactly one executable per
+    geometry, independent of per-image stream lengths."""
+    big = np.kron(test_image, np.ones((2, 2, 1))).astype(np.uint8)
+    rng = np.random.default_rng(11)
+    datas = [encode(test_image, EncodeSpec(quality=40)),
+             encode(test_image, EncodeSpec(quality=95)),
+             encode(big, EncodeSpec(quality=40)),
+             encode(np.clip(big + rng.integers(-20, 20, big.shape), 0, 255)
+                    .astype(np.uint8), EncodeSpec(quality=95))]
+    dec = BatchDecoder()
+    out = dec.decode(datas)
+    assert len(dec._exec_cache) == 2
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+
 def test_merged_batch_with_restarts(test_image):
     # identical payloads guarantee equal geometry buckets (distinct images
     # only group when their bucketed sizes coincide)

@@ -110,7 +110,8 @@ def test_sync_states_match_sequential(test_image, spec):
         ctx = H.make_ctx(cfg, arrs)
         return H.sync_states(cfg, arrs, ctx)
 
-    p, c, z, n = [np.asarray(x)[:cfg.num_subseq]
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
                   for x in jax.jit(f).lower(inp).compile()(inp)]
     expect = golden.sequential_boundary_states(
         plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
@@ -158,6 +159,65 @@ def test_write_matmul_garbage_stream(test_image):
 
 @pytest.mark.parametrize("spec", [
     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
+    EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)]),
+    EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], restart_interval=5,
+               quality=95),
+])
+def test_write_tiles_matches_golden(test_image, spec):
+    """The Pallas MXU tile-assembly write path (interpret mode on CPU) is
+    bit-identical to the golden decoder."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, spec)
+    plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+def test_write_tiles_garbage_stream(test_image):
+    """Tiles write path on a garbage scan body: deterministic and equal to
+    golden (exercises the leftover element-scatter escape for lanes whose
+    slab window or tile span overflows)."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image[..., 0], EncodeSpec(restart_interval=3))
+    s = parse(data)
+    scan = s.scans[0]
+    rng = np.random.default_rng(23)
+    body = rng.integers(0, 255, scan.end - scan.begin, dtype=np.uint8)
+    body[body == 0xFF] = 0x7F
+    garbled = data[:scan.begin] + body.tobytes() + data[scan.end:]
+    plan = build_plan(parse(garbled), tuning=Tuning(write_mode="tiles"))
+    d = decode_jpeg_device(garbled, plan=plan)
+    g = golden.decode(garbled)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+def test_write_tiles_leftover_lanes():
+    """A flat low-entropy image produces subsequences spanning more data
+    units than the tile window; those lanes must drain through the leftover
+    scatter loop bit-exactly."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import write_pallas
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    img = np.full((128, 136), 130, np.uint8)  # flat gray: ~3 bits per du
+    data = encode(img, EncodeSpec(quality=50))
+    stream = parse(data)
+    scan = stream.scans[0]
+    assert (scan.total_data_units / scan.num_subsequences
+            > write_pallas._TILE_D)
+    plan = build_plan(stream, tuning=Tuning(write_mode="tiles"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)], quality=95),
 ])
 def test_pallas_entropy_backend_bitexact(test_image, spec):
@@ -167,7 +227,8 @@ def test_pallas_entropy_backend_bitexact(test_image, spec):
     from jpeggpu_tpu.pipeline import decode_jpeg_device
 
     data = encode(test_image, spec)
-    plan = build_plan(parse(data), tuning=Tuning(entropy_backend="pallas"))
+    plan = build_plan(parse(data), tuning=Tuning(entropy_backend="pallas",
+                                                 write_mode="fused"))
     d = decode_jpeg_device(data, plan=plan)
     g = golden.decode(data)
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
@@ -187,7 +248,8 @@ def test_pallas_write_residual_lanes():
     scan = stream.scans[0]
     # sanity: the stream really exceeds the du window per subsequence
     assert scan.total_data_units / scan.num_subsequences > huffman_pallas._WRITE_D
-    plan = build_plan(stream, tuning=Tuning(entropy_backend="pallas"))
+    plan = build_plan(stream, tuning=Tuning(entropy_backend="pallas",
+                                            write_mode="fused"))
     d = decode_jpeg_device(data, plan=plan)
     g = golden.decode(data)
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
