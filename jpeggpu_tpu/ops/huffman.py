@@ -59,6 +59,12 @@ class ScanConfig:
     # canonical-limit fast symbol decode; host parser sets this False when a
     # table's code space saturates (tables.py: HuffmanTable.saturated)
     fast_tables: bool = True
+    # tile depth of the tile-assembly write path (ops/write_pallas.py):
+    # per-lane data-unit window, sized by build_plan from the stream's
+    # average data-units-per-subsequence (a shape bucket, so equal-geometry
+    # images of similar density share executables); lanes spanning more
+    # drain through the leftover scatter
+    tile_d: int = 96
     # static tuning knobs (part of the executable cache key)
     tuning: Tuning = Tuning()
 

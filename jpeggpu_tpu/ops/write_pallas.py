@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 
-# tile rows per lane: covers subsequences spanning < _TILE_D data units
+# default tile rows per lane: covers subsequences spanning < tile_d data
+# units; the pipeline picks a per-plan tile_d (ScanConfig.tile_d) from the
+# stream's average data-units-per-subsequence
 _TILE_D = 96
 # record slots contracted per MXU round
 _ROUND_R = 128
@@ -61,7 +63,7 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _tiles_kernel(s_cap, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
+def _tiles_kernel(s_cap, tile_d, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
                   tiles_out, acc_ref):
     # val_ref/wpos_ref are lane-major (wl, s_cap): the slot axis is the
     # Mosaic minor dimension (multiple of 128); per-lane scalars ride as
@@ -70,7 +72,7 @@ def _tiles_kernel(s_cap, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
     m = jnp.where(inc, m_ref[:, 0], 0)
     mmax = jnp.max(m)
     du0 = du0_ref[:, 0]
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _TILE_D), 2)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_d), 2)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _ROUND_R, 1), 1)
 
@@ -86,7 +88,7 @@ def _tiles_kernel(s_cap, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
         d_rel = (w >> 6) - du0[:, None]
         iz = w & 63
         valid = valid & (d_rel[:, :, None] >= 0) \
-            & (d_rel[:, :, None] < _TILE_D)
+            & (d_rel[:, :, None] < tile_d)
         # batched one-hot contraction on the MXU: (l, s, D) x (l, s, 64)
         # -> (l, D, 64); at most one slot hits a given (l, d, z), so f32 is
         # exact (|val| < 2^15 << 2^24)
@@ -103,11 +105,11 @@ def _tiles_kernel(s_cap, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
     tiles_out[:] = acc_ref[:].astype(jnp.int16)
 
 
-def tiles_from_records(val, wpos, m, du0, include):
+def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D):
     """Records -> per-lane (D, 64) zig-zag data-unit tiles.
 
     ``include`` masks leftover lanes to zero tiles. Returns
-    int16[lanes, _TILE_D, 64].
+    int16[lanes, tile_d, 64].
     """
     s_cap, lanes = val.shape
     if s_cap % _ROUND_R:  # pad to whole MXU rounds; padding slots are inert
@@ -126,13 +128,13 @@ def tiles_from_records(val, wpos, m, du0, include):
     rec_spec = pl.BlockSpec((wl, s_cap), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     tiles = pl.pallas_call(
-        functools.partial(_tiles_kernel, s_cap),
+        functools.partial(_tiles_kernel, s_cap, tile_d),
         grid=grid,
         in_specs=[rec_spec, rec_spec, col_spec, col_spec, col_spec],
-        out_specs=pl.BlockSpec((wl, _TILE_D, 64), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((wl, tile_d, 64), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lanes, _TILE_D, 64), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((wl, _TILE_D, 64), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((lanes, tile_d, 64), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((wl, tile_d, 64), jnp.float32)],
         # the per-block working set (records + one-hot operands + f32
         # accumulator, double-buffered) exceeds Mosaic's default 16 MiB
         # scoped-vmem budget; v5e cores carry 128 MiB
@@ -169,18 +171,18 @@ def expand_tiles(tiles, du0, q, n_groups):
     with ``du0[lane] + d == j`` — shared boundary rows combine here. The
     in-data-unit zig-zag -> natural reorder happens in-kernel.
     """
-    lanes = tiles.shape[0]
-    tiles2d = tiles.reshape(lanes, _TILE_D * 64).reshape(
-        lanes * _TILE_D, 64)
+    lanes, tile_d = tiles.shape[0], tiles.shape[1]
+    tiles2d = tiles.reshape(lanes, tile_d * 64).reshape(
+        lanes * tile_d, 64)
     # cand[l*D + d] = du0[l] + d, flattened to match tiles2d rows; rows of
     # excluded (zero-tile) lanes match harmlessly
-    cand = (du0[:, None] + jnp.arange(_TILE_D, dtype=jnp.int32)[None, :])
-    cand2d = cand.reshape(1, lanes * _TILE_D)
+    cand = (du0[:, None] + jnp.arange(tile_d, dtype=jnp.int32)[None, :])
+    cand2d = cand.reshape(1, lanes * tile_d)
     # perm[z, j] = 1 iff natural position j holds zig-zag index z
     perm = np.zeros((64, 64), np.float32)
     perm[np.arange(64), np.asarray(C.ORDER_NATURAL)] = 1.0
 
-    kd = _SLAB * _TILE_D
+    kd = _SLAB * tile_d
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups,),
@@ -211,13 +213,13 @@ def expand_tiles(tiles, du0, q, n_groups):
     return out
 
 
-def _lane_extents(wpos, m, du0):
+def _lane_extents(wpos, m, du0, tile_d: int):
     """Per-lane record extent and tile-window overflow flag."""
     s_cap, lanes = wpos.shape
     slot = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
     valid = (slot < m[None, :]) & (wpos >= 0)
     max_du = jnp.max(jnp.where(valid, wpos >> 6, -1), axis=0)
-    span_over = (max_du - du0) >= _TILE_D
+    span_over = (max_du - du0) >= tile_d
     return span_over, max_du
 
 
@@ -283,7 +285,7 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total):
     return out_flat
 
 
-def assemble_tiles(val, wpos, m, du0, total: int):
+def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D):
     """Full record assembly: tiles + expand + leftover + natural reorder.
 
     Returns int16[total] stream-order coefficients (natural order within
@@ -303,14 +305,19 @@ def assemble_tiles(val, wpos, m, du0, total: int):
     du0 = jax.lax.cummax(du0)
     unsorted = du0 != du0_raw
 
-    span_over, max_du = _lane_extents(wpos, m, du0)
+    span_over, max_du = _lane_extents(wpos, m, du0, tile_d)
     q1 = _slab_index(du0, max_du, ~(span_over | unsorted), lanes, n_groups)
-    leftover = span_over | unsorted | _window_over(du0, q1, lanes)
+    # recordless lanes (m == 0: padding, or real lanes whose whole range was
+    # clamped) can never be leftover — they have nothing to place, and the
+    # padding tail would otherwise flood the compacted scatter loop with
+    # thousands of no-op lanes (~7 ms per 512-lane round)
+    leftover = (span_over | unsorted | _window_over(du0, q1, lanes)) \
+        & (m > 0)
     # the final q excludes window-overflow lanes too; it can only move slabs
     # upward, so every lane that passed the q1 check still fits
     q = _slab_index(du0, max_du, ~leftover, lanes, n_groups)
 
-    tiles = tiles_from_records(val, wpos, m, du0, ~leftover)
+    tiles = tiles_from_records(val, wpos, m, du0, ~leftover, tile_d)
     out2d = expand_tiles(tiles, du0, q, n_groups)  # natural order already
 
     out_flat = out2d.reshape(-1)
@@ -332,4 +339,4 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
                     else pos_base)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
-    return assemble_tiles(val, wpos, m, du0, total)
+    return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d)

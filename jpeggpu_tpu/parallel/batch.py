@@ -177,7 +177,8 @@ def _geometry_key(sig: PlanSignature) -> PlanSignature:
     scans = tuple(
         dataclasses.replace(
             sp, scan_bytes_padded=0,
-            cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0))
+            cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0,
+                                    tile_d=0))
         for sp in sig.scans)
     return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
@@ -242,7 +243,8 @@ class BatchDecoder:
             pad = tuple(
                 (max(prelim[i].signature.scans[s].cfg.lanes for i in idxs),
                  max(prelim[i].signature.scans[s].scan_bytes_padded
-                     for i in idxs))
+                     for i in idxs),
+                 max(prelim[i].signature.scans[s].cfg.tile_d for i in idxs))
                 for s in range(nscans))
             for i in idxs:
                 plan = (prelim[i] if len(idxs) == 1

@@ -81,7 +81,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                ) -> DecodePlan:
     """Build the decode plan (static geometry) for a parsed stream.
 
-    ``pad_scans`` optionally gives per-scan ``(lanes_floor, bytes_floor)``
+    ``pad_scans`` optionally gives per-scan ``(lanes_floor, bytes_floor[,
+    tile_d_floor])``
     lower bounds for the shape buckets: :class:`BatchDecoder` pads every
     image of a mixed group up to the group maxima so they share one
     executable (the padding is inert — lane validity is data-driven, see
@@ -93,9 +94,20 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
     for si, scan in enumerate(stream.scans):
         lanes = _bucket(scan.num_subsequences)
         bytes_floor = 0
+        # tile depth for the tile-assembly write: ~5x the stream's average
+        # data-units-per-subsequence covers essentially every lane (the
+        # write-position distribution is narrow; outliers drain through the
+        # leftover scatter), bucketed so similar-density images share
+        # executables
+        avg_du = (scan.total_data_units /
+                  max(scan.num_subsequences, 1))
+        tile_d = next((d for d in (32, 64, 96, 128)
+                       if d >= 5.0 * avg_du), 128)
         if pad_scans is not None and si < len(pad_scans):
             lanes = max(lanes, pad_scans[si][0])
             bytes_floor = pad_scans[si][1]
+            if len(pad_scans[si]) > 2:
+                tile_d = max(tile_d, pad_scans[si][2])
         comps = []
         for sc in scan.components:
             comp = stream.components[sc.component_idx]
@@ -123,6 +135,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             total_mcus=scan.num_mcus,
             comp_groups=tuple(comp_groups),
             fast_tables=fast_tables,
+            tile_d=tile_d,
             tuning=tuning,
         )
         scans.append(ScanPlanStatic(

@@ -69,7 +69,8 @@ def main() -> int:
     inputs = build_inputs(data, plan)
     sp = plan.signature.scans[0]
     cfg = sp.cfg
-    inp = jax.device_put(inputs["scans"][0])
+    inp = jax.device_put({**inputs["scans"][0],
+                          "qtables": inputs["qtables"]})
 
     def mk_arrs(i):
         return H.ScanArrays(
@@ -145,8 +146,31 @@ def main() -> int:
         pos0 = seg * cfg.positions_per_seg + n_off
         du0 = jax.lax.cummax(pos0 >> 6)
         tiles = WP.tiles_from_records(val, wpos, m, du0,
-                                      jnp.ones(cfg.lanes, jnp.bool_))
+                                      jnp.ones(cfg.lanes, jnp.bool_),
+                                      cfg.tile_d)
         return tiles[0:1, 0:1, 0:1]
+
+    def _tail(i, upto):
+        from jpeggpu_tpu.ops.dc import undelta_dc
+        from jpeggpu_tpu.ops.idct import dequant_idct_plane
+        from jpeggpu_tpu.ops.transpose import deinterleave
+
+        arrs = mk_arrs(i)
+        coeffs = H.decode_scan(cfg, arrs)
+        if upto == "scan":
+            return coeffs[0:1]
+        comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+        coeffs = undelta_dc(cfg, comp_slots, coeffs)
+        if upto == "dc":
+            return coeffs[0:1]
+        t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
+        planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y,
+                              t_comps)
+        if upto == "deint":
+            return sum(p[0:1, 0:1].astype(jnp.int32) for p in planes)
+        outs = [dequant_idct_plane(p, i["qtables"][c[6]])
+                for p, c in zip(planes, sp.comps)]
+        return sum(o[0:1, 0:1].astype(jnp.int32) for o in outs)
 
     cfg_p = dataclasses.replace(cfg, tuning=Tuning(entropy_backend="pallas"))
 
@@ -171,6 +195,11 @@ def main() -> int:
         probes = [("sync_ms", f_sync), ("sync_emit_ms", f_emit),
                   ("sync_emit_t1_ms", f_tiles_stage1),
                   ("sync_emit_tiles_ms", f_tiles)]
+    if "--tail" in sys.argv:
+        probes = [("scan_ms", lambda i: _tail(i, "scan")),
+                  ("scan_dc_ms", lambda i: _tail(i, "dc")),
+                  ("scan_deint_ms", lambda i: _tail(i, "deint")),
+                  ("scan_idct_ms", lambda i: _tail(i, "idct"))]
     for name, fn in probes:
         t0 = time.time()
         exe = compile_probe(fn)
@@ -190,6 +219,8 @@ def main() -> int:
         out["write_pallas_ms"] = out["scan_pallas_ms"] - out["sync_pallas_ms"]
 
     full_modes = []
+    if "--tail" in sys.argv:
+        skip_full = True
     if not skip_full:
         full_modes = [("auto", Tuning())]
         if "--only-pallas" not in sys.argv and "--only-tiles" not in sys.argv:
