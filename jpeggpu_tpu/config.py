@@ -26,6 +26,14 @@ class Tuning:
         decode, entered once fewer than this many lanes remain active.
       unroll: symbol decodes per loop iteration; amortizes per-iteration
         fixed costs (carry traffic + loop plumbing) on the VPU.
+      chain_follow: subsequences re-decoded per chain per compacted
+        synchronization round. A mis-synced chain drains one subsequence
+        per Jacobi round; following the chain F-deep inside one round
+        (Gauss-Seidel within the chain, Jacobi across chains) divides the
+        sequential round count by F at the cost of F narrow passes per
+        round. 1 restores plain per-subsequence rounds; 0 selects 4 on
+        TPU backends and 1 elsewhere (the converged states are identical
+        — this is purely a round-count/compile-time trade).
       entropy_backend: "auto" | "xla" | "pallas" — implementation of the
         per-symbol decode loops. "auto" selects the fused Pallas kernels on
         TPU backends and the XLA formulation elsewhere.
@@ -43,6 +51,7 @@ class Tuning:
     write_chunk: int = 256
     straggler_width: int = 4096
     unroll: int = 8
+    chain_follow: int = 0
     entropy_backend: str = "auto"
     write_mode: str = "auto"
 
@@ -60,6 +69,15 @@ class Tuning:
                      "unroll"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
+        if self.chain_follow < 0:
+            raise ValueError("chain_follow must be >= 0 (0 = auto)")
+        # power-of-two <= 128: keeps every 128-slot assembly-round boundary
+        # aligned to a bit-buffer refill, so those slots are never stall
+        # holes (ops/huffman.py assemble_coefficients reads slot 0's du)
+        if self.unroll > 128 or (self.unroll & (self.unroll - 1)):
+            raise ValueError("unroll must be a power of two <= 128")
+        if self.write_chunk % self.unroll:
+            raise ValueError("write_chunk must be a multiple of unroll")
 
 
 _default = Tuning()

@@ -192,10 +192,103 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
     )
 
 
+def _slice_ctx(gctx: _Ctx, lo: int, hi: int, valid: jax.Array) -> _Ctx:
+    """Static column slice of an already-gathered context (frontier phases
+    share one fused gather and slice their phase out of it)."""
+    return _Ctx(
+        window=gctx.window[:, lo:hi],
+        hv_packed=gctx.hv_packed,
+        word_end=gctx.word_end[lo:hi],
+        seg_base_bits=gctx.seg_base_bits[lo:hi],
+        end_subseq=gctx.end_subseq[lo:hi],
+        rel=gctx.rel[lo:hi],
+        lane_valid=valid,
+        first_of_seg=gctx.first_of_seg[lo:hi],
+        lane_word0=gctx.lane_word0[lo:hi],
+        limits=gctx.limits,
+        dvsm=gctx.dvsm,
+        vsm0=gctx.vsm0,
+    )
+
+
 def _iota_col(n: int) -> jax.Array:
     """(n, 1) int32 iota — broadcasted_iota lowers inside Pallas kernels,
     where captured constant arrays and 1D iota ops do not."""
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+
+# rolling bit-buffer of the subsequence-pass loops: _BUF_W words are
+# one-hot-loaded from the 34-word window ONCE per unrolled iteration, and
+# each symbol reads its 32 bits with a cheap funnel shift — cutting the
+# dominant per-symbol cost (two 34-row one-hot selects in _load32, ~60% of
+# a pass) to a once-per-iteration refill. A lane that consumes past the
+# buffer mid-iteration *stalls* (no commit, stays active) and resumes after
+# the next refill re-centers the buffer — pure delay, bit-identical states.
+# 8 words = 256 bits: a stall needs >= (256-32-31)/31 -> 7 commits first,
+# so at unroll 8 the emission-slot inflation is bounded by 8/7 (_emit_cap).
+_BUF_W = 8
+_BUF_BITS = _BUF_W * 32
+
+
+def _refill_buf(ctx: _Ctx, p: jax.Array):
+    """_BUF_W buffer words from absolute word floor(abs_bit/32), plus the
+    base word index. Words at/past the segment end read zero (reference
+    reader semantics, decode_huffman_reader.hpp:72-112)."""
+    abs_bit = ctx.seg_base_bits + p
+    base = abs_bit >> 5
+    w_rel = base - ctx.lane_word0 + 1
+    iota = _iota_col(34)
+    d = iota - w_rel[None, :]
+    win_i = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
+    words = []
+    for k in range(_BUF_W):
+        wk = jnp.sum(jnp.where(d == k, win_i, 0), axis=0)
+        wk = jax.lax.bitcast_convert_type(
+            jnp.where(base + k < ctx.word_end, wk, 0), jnp.uint32)
+        words.append(wk)
+    return tuple(words), base
+
+
+def _load32_buf(ctx: _Ctx, p: jax.Array, buf, base):
+    """32 MSB-aligned bits at p from the rolling buffer.
+
+    Returns (data, stall): stalled lanes (p beyond the buffer) get garbage
+    data and must not commit this step.
+    """
+    off = (ctx.seg_base_bits + p) - (base << 5)
+    stall = off >= _BUF_BITS - 32
+    j = jnp.clip(off >> 5, 0, _BUF_W - 2)
+    wa, wb = buf[_BUF_W - 2], buf[_BUF_W - 1]
+    for k in range(_BUF_W - 2):
+        m = j == k
+        wa = jnp.where(m, buf[k], wa)
+        wb = jnp.where(m, buf[k + 1], wb)
+    sh = (off & 31).astype(jnp.uint32)
+    hi = wa << sh
+    lo = jnp.where(sh > 0, wb >> ((np.uint32(32) - sh) & np.uint32(31)), 0)
+    return hi | lo, stall
+
+
+def _symbol_step_buf(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, buf, base,
+                     p, c, z, active):
+    """One masked symbol step off the rolling buffer (sync passes: the
+    EXTEND value is not computed). Returns (p, c, z, run, commit, active):
+    stalled lanes stay active without committing."""
+    data, stall = _load32_buf(ctx, p, buf, base)
+    length, _, run = _decode_symbol(cfg, arrs, ctx, data, c, z,
+                                    need_value=False)
+    ok = active & ~stall
+    fits = p + length <= ctx.end_subseq
+    commit = ok & fits
+    active = active & ~(ok & ~fits)
+    p = jnp.where(commit, p + length, p)
+    z_new = z + run + 1
+    wrap = z_new >= 64
+    c_new = jnp.where(wrap, c + 1, c)
+    c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+    z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+    c = jnp.where(commit, c_new, c)
+    return p, c, z, run, commit, active
 
 
 def _load32(ctx: _Ctx, p: jax.Array) -> jax.Array:
@@ -337,11 +430,14 @@ def _select_scalar_t(cfg: ScanConfig, tbl: jax.Array, c: jax.Array,
 
 
 def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
-                   data: jax.Array, c: jax.Array, z: jax.Array):
+                   data: jax.Array, c: jax.Array, z: jax.Array,
+                   need_value: bool = True):
     """Vectorized one-symbol decode on all lanes.
 
     Returns (length, sym, run). Mirrors decode_next_symbol
     (decode_huffman.cu:202-286) including the uint8 index clamp on garbage.
+    With ``need_value=False`` (sync passes, which only track states) the
+    EXTEND value computation is skipped and sym is 0.
     """
     is_dc = z == 0
     if cfg.fast_tables:
@@ -356,8 +452,12 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         is_dc, 0,
         jnp.where(cat_ac == 0, jnp.where(run_ac == 15, 15, 63 - z), run_ac))
 
-    # value bits (T.81 F.12 EXTEND); shift amounts guarded for garbage cat
     has_val = cat > 0
+    length = cat_len + jnp.where(has_val, cat, 0)
+    if not need_value:
+        return length, jnp.zeros_like(cat), run
+
+    # value bits (T.81 F.12 EXTEND); shift amounts guarded for garbage cat
     cat_u = cat.astype(jnp.uint32)
     off = (data << (cat_len.astype(jnp.uint32) & np.uint32(31)))
     off = (off >> ((np.uint32(32) - cat_u) & np.uint32(31))).astype(jnp.int32)
@@ -365,7 +465,6 @@ def _decode_symbol(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     half = (jnp.int32(1) << cat_c) >> 1
     value = jnp.where(off < half, off - (jnp.int32(1) << cat_c) + 1, off)
     sym = jnp.where(has_val, value, 0)
-    length = cat_len + jnp.where(has_val, cat, 0)
     return length, sym, run
 
 
@@ -414,12 +513,14 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     def body(state):
         p, c, z, n, active, _ = state
-        # unrolled: amortizes the per-iteration fixed cost (carry traffic +
-        # loop plumbing) which otherwise dominates the VPU work
+        # refill the rolling bit buffer once, then run the unrolled symbol
+        # steps off it (amortizes the one-hot window selects AND the
+        # per-iteration fixed cost which otherwise dominate the VPU work)
+        buf, base = _refill_buf(ctx, p)
         for _u in range(cfg.tuning.unroll):
-            p, c, z, _, run, active = _symbol_step(cfg, arrs, ctx, p, c, z,
-                                                   active)
-            n = jnp.where(active, n + run + 1, n)
+            p, c, z, run, commit, active = _symbol_step_buf(
+                cfg, arrs, ctx, buf, base, p, c, z, active)
+            n = jnp.where(commit, n + run + 1, n)
         return p, c, z, n, active, jnp.any(active)
 
     def cond(state):
@@ -481,9 +582,6 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     delta = (p2 != p) | (c2 != c) | (z2 != z)
     p, c, z, n = p2, c2, z2, n2
 
-    def cond(state):
-        return state[4]
-
     def full_round(p, c, z, n):
         sp, sc, sz = shift_start(p, c, z)
         p2, c2, z2, n2 = freeze(*_decode_subseq_pass(
@@ -491,43 +589,120 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         delta = (p2 != p) | (c2 != c) | (z2 != z)
         return p2, c2, z2, n2, delta
 
-    def compact_round(p, c, z, n, frontier):
-        idx_raw = jnp.nonzero(frontier, size=K, fill_value=-1)[0].astype(jnp.int32)
-        valid = idx_raw >= 0
-        idx = jnp.clip(idx_raw, 0, lanes - 1)
-        cctx = gather_ctx(ctx, idx, valid)
-        prev = jnp.clip(idx - 1, 0, lanes - 1)
-        sp = p[prev]
-        sc = c[prev]
-        sz = z[prev]
-        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx, sp, sc, sz, valid)
-        dp = valid & (p2 != p[idx])
-        dc_ = valid & (c2 != c[idx])
-        dz = valid & (z2 != z[idx])
-        d_comp = dp | dc_ | dz
-        upd = lambda full, comp: full.at[idx].set(
-            jnp.where(valid, comp, full[idx]), mode="drop")
-        p = upd(p, p2)
-        c = upd(c, c2)
-        z = upd(z, z2)
-        n = upd(n, n2)
-        delta = jnp.zeros(lanes, jnp.bool_).at[idx].set(d_comp, mode="drop")
-        return p, c, z, n, delta
+    # chain-follow: each compacted round re-decodes up to F consecutive
+    # subsequences per mis-synced chain (Gauss-Seidel within the chain:
+    # phase f starts from phase f-1's fresh end state), so a chain of
+    # depth d drains in ceil(d/F) rounds instead of d. Chains are bounded
+    # by the next chain's head, so updated columns stay disjoint.
+    F = cfg.tuning.chain_follow
+    if F == 0:  # auto: the F-phase round body is pure compile cost on CPU
+        F = 1 if jax.default_backend() == "cpu" else 4
+    F = min(F, K)
+    Kc = max(1, K // F)
 
-    def body(state):
-        p, c, z, n, _, delta, it = state
+    # Phase A: full-width rounds while the frontier is wider than the chain
+    # budget (rare: right after round 1 on pathological content). The
+    # frontier count can only shrink (chains never split), so phase B's
+    # head list, once taken, covers every chain to the end.
+    def full_body(state):
+        p, c, z, n, delta, it = state
+        p, c, z, n, delta = full_round(p, c, z, n)
+        return p, c, z, n, delta, it + 1
+
+    def full_cond(state):
+        p, c, z, n, delta, it = state
         frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
         cnt = jnp.sum(frontier.astype(jnp.int32))
-        p, c, z, n, delta = jax.lax.cond(
-            cnt > K,
-            lambda a: full_round(a[0], a[1], a[2], a[3]),
-            lambda a: compact_round(*a),
-            (p, c, z, n, frontier))
-        go = jnp.any(delta) & (it + 1 < lanes)
-        return p, c, z, n, go, delta, it + 1
+        return (cnt > Kc) & (it < lanes)
 
-    state = (p, c, z, n, jnp.any(delta), delta, jnp.int32(0))
-    p, c, z, n, _, _, _ = jax.lax.while_loop(cond, body, state)
+    p, c, z, n, delta, it0 = jax.lax.while_loop(
+        full_cond, full_body, (p, c, z, n, delta, jnp.int32(0)))
+
+    # Phase B: compacted chain-follow rounds with LOCAL head tracking.
+    # The ONE global compaction below yields the chain heads; afterwards
+    # each round advances its own heads in (Kc,)-sized arithmetic — no
+    # full-width nonzero/roll/delta scatters per round. Heads stay sorted
+    # and distinct: a chain is bounded by the next live head, so its next
+    # head never passes a neighbor.
+    frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+    heads0 = jnp.nonzero(frontier, size=Kc,
+                         fill_value=lanes)[0].astype(jnp.int32)
+    offs = jnp.arange(F, dtype=jnp.int32)
+    sentinel = lanes + jnp.arange(Kc * F, dtype=jnp.int32).reshape(Kc, F)
+
+    def compact_round(p, c, z, n, head):
+        alive = head < lanes
+        headc = jnp.clip(head, 0, lanes - 1)
+        # bound[j] = the closest live head above (dead heads sit at the
+        # `lanes` sentinel and never bound anyone)
+        nxt = jnp.concatenate([head[1:], jnp.full((1,), lanes, jnp.int32)])
+        bound = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+        idx2 = headc[:, None] + offs[None, :]  # (Kc, F) follow columns
+        idx2c = jnp.clip(idx2, 0, lanes - 1)
+        okcol = (alive[:, None] & (idx2 < bound[:, None])
+                 & (idx2 < lanes) & ctx.lane_valid[idx2c]
+                 & ((offs[None, :] == 0) | ~ctx.first_of_seg[idx2c]))
+        # chains stop at the first bad column (cumulative AND along f)
+        ok = jnp.cumprod(okcol.astype(jnp.int32), axis=1).astype(bool)
+
+        # one fused context gather for all phases (phase-major layout)
+        gctx = gather_ctx(ctx, idx2c.T.reshape(-1), ok.T.reshape(-1))
+        prevh = jnp.clip(headc - 1, 0, lanes - 1)
+        sp, sc, sz = p[prevh], c[prevh], z[prevh]
+        changed = alive  # heads always re-decode (their pred changed)
+        act_l, new_l, mark_l = [], [], []
+        for f in range(F):
+            idxf = idx2c[:, f]
+            activef = ok[:, f] & changed
+            cctx = _slice_ctx(gctx, f * Kc, (f + 1) * Kc, activef)
+            p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx,
+                                                 sp, sc, sz, activef)
+            ch = activef & ((p2 != p[idxf]) | (c2 != c[idxf])
+                            | (z2 != z[idxf]))
+            act_l.append(activef)
+            new_l.append((p2, c2, z2, n2))
+            # the chain continues past this round only from a changed
+            # column whose successor was NOT decoded as the next phase
+            # (ran out of depth, or collided with the next chain's
+            # stale-started head)
+            nxt_dec = ok[:, f + 1] if f + 1 < F else jnp.zeros_like(ch)
+            mark_l.append(ch & ~nxt_dec)
+            sp, sc, sz = p2, c2, z2
+            changed = ch
+        act = jnp.stack(act_l, axis=1)      # (Kc, F)
+        mark = jnp.stack(mark_l, axis=1)
+        # one scatter per state array; decoded columns are disjoint, and
+        # dropped columns get distinct out-of-bounds sentinels so the
+        # unique-indices promise holds
+        upd_idx = jnp.where(act, idx2c, sentinel).reshape(-1)
+        stk = lambda j: jnp.stack([t[j] for t in new_l], axis=1).reshape(-1)
+        upd = lambda full, flat: full.at[upd_idx].set(
+            flat, mode="drop", unique_indices=True)
+        p = upd(p, stk(0))
+        c = upd(c, stk(1))
+        z = upd(z, stk(2))
+        n = upd(n, stk(3))
+        # next head = successor of the (single) marked column, kept only
+        # if it is a real, non-segment-first lane
+        cand = jnp.sum(jnp.where(mark, idx2 + 1, 0), axis=1)
+        has = jnp.any(mark, axis=1)
+        candc = jnp.clip(cand, 0, lanes - 1)
+        keep = (has & (cand < lanes) & ctx.lane_valid[candc]
+                & ~ctx.first_of_seg[candc])
+        head = jnp.where(keep, cand, lanes)
+        return p, c, z, n, head
+
+    def body(state):
+        p, c, z, n, head, it = state
+        p, c, z, n, head = compact_round(p, c, z, n, head)
+        return p, c, z, n, head, it + 1
+
+    def cond2(state):
+        p, c, z, n, head, it = state
+        return jnp.any(head < lanes) & (it < lanes)
+
+    state = (p, c, z, n, heads0, it0)
+    p, c, z, n, _, _ = jax.lax.while_loop(cond2, body, state)
     return p, c, z, n
 
 
@@ -709,10 +884,13 @@ _ASM_D = 72  # du-window rows per assembly tile (>= _ASM_R // 2 + 1)
 
 
 def _emit_cap(chunk: int) -> int:
-    """Static bound on committed symbols per subsequence: one per bit of the
+    """Static bound on emission slots per subsequence: one per bit of the
     1024-bit subsequence, plus the <=31-bit overhang a lane can inherit when
-    its predecessor stopped short of the boundary; rounded to whole chunks."""
+    its predecessor stopped short of the boundary, inflated by the rolling
+    bit-buffer's worst-case stall rate (a stalled iteration commits >= 7 of
+    its 8 slots, see _BUF_W); rounded to whole chunks."""
     cap = C.SUBSEQ_SIZE_BITS + 32
+    cap = -(-cap * 8 // 7)
     return -(-cap // chunk) * chunk
 
 
@@ -722,9 +900,12 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
     """Writing decode, dense-emission form.
 
     Returns ``(val, wpos, m)``: ``val[s, l]``/``wpos[s, l]`` are the value and
-    global output position of lane ``l``'s ``s``-th committed symbol (val 0
-    for non-writing symbols or positions clamped by the segment bound; wpos
-    -1 on slots past the lane's last commit), and ``m[l]`` the commit count.
+    global output position of the symbol committed at lane ``l``'s slot ``s``
+    (val 0 for non-writing symbols or positions clamped by the segment bound;
+    wpos -1 on inert slots — slots past the lane's last commit, and the rare
+    in-between holes left by rolling-buffer stalls), and ``m[l]`` one past
+    the lane's last committed slot. Consumers must treat a slot as real only
+    if ``s < m & wpos >= 0``; committed slots remain in stream order.
     """
     lanes = cfg.lanes
     chunk = cfg.tuning.write_chunk
@@ -752,19 +933,31 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
 
         def inner(k2, istate):
             p, c, z, pos, active, m, vbuf, wbuf = istate
+            buf, base = _refill_buf(ctx, p)
             for u in range(unroll):
-                alive = active & (pos < bound_full)
-                p, c, z, sym, run, commit = _symbol_step(
-                    cfg, arrs, ctx, p, c, z, alive)
+                data, stall = _load32_buf(ctx, p, buf, base)
+                length, sym, run = _decode_symbol(cfg, arrs, ctx, data, c, z)
+                ok = active & (pos < bound_full) & ~stall
+                fits = p + length <= ctx.end_subseq
+                commit = ok & fits
+                # real end: crossed the subsequence or ran out of positions;
+                # stalled lanes stay active and retry after the next refill
+                active = active & ~(ok & ~fits) & (pos < bound_full)
                 wp = pos + run
                 emit_val = jnp.where(commit & (wp < bound_full), sym,
                                      0).astype(jnp.int16)
                 slot = k2 * unroll + u
                 vbuf = vbuf.at[slot].set(emit_val)
                 wbuf = wbuf.at[slot].set(jnp.where(commit, wp, -1))
+                p = jnp.where(commit, p + length, p)
+                z_new = z + run + 1
+                wrap = z_new >= 64
+                c_new = jnp.where(wrap, c + 1, c)
+                c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+                z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+                c = jnp.where(commit, c_new, c)
                 pos = jnp.where(commit, wp + 1, pos)
-                m = m + commit.astype(jnp.int32)
-                active = commit
+                m = jnp.where(commit, k * chunk + slot + 1, m)
             return p, c, z, pos, active, m, vbuf, wbuf
 
         vbuf = jnp.zeros((chunk, lanes), jnp.int16)
@@ -815,13 +1008,15 @@ def assemble_coefficients(val: jax.Array, wpos: jax.Array, m: jax.Array,
         out, r = state
         w = jax.lax.dynamic_slice(wpos, (r * _ASM_R, 0), (_ASM_R, lanes))
         v = jax.lax.dynamic_slice(val, (r * _ASM_R, 0), (_ASM_R, lanes))
-        # slot s of lane l is real iff s < m[l] (emission is a dense prefix)
+        # slot s of lane l is real iff s < m[l] and not a stall hole
+        # (holes carry wpos -1 / val 0, so they are inert in B either way)
         s_idx = r * _ASM_R + jnp.arange(_ASM_R, dtype=jnp.int32)
-        valid = s_idx[:, None] < m[None, :]
+        valid = (s_idx[:, None] < m[None, :]) & (w >= 0)
         w = jnp.maximum(w, 0)  # inert slots may carry garbage positions
         du = w >> 6
         iz = w & 63
-        # emission is a dense per-lane prefix: slot 0 inert => lane finished
+        # slot 0 of a round is refill-aligned (unroll divides _ASM_R), so it
+        # is never a stall hole: inert here means the lane has finished
         du0 = jnp.where(valid[0], du[0], n_du)  # sentinel: zero-padded rows
         d_local = jnp.clip(du - du0[None, :], 0, _ASM_D - 1)
         # A[r_, l, d] one-hot of the symbol's local data unit

@@ -104,10 +104,12 @@ def _sync_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
         z = st_ref[2]
         n = st_ref[3]
         active = st_ref[4] != 0
+        # one rolling-buffer refill per iteration, funnel reads per symbol
+        buf, base = H._refill_buf(ctx, p)
         for _u in range(cfg.tuning.unroll):
-            p, c, z, _, run, active = H._symbol_step(cfg, arrs, ctx, p, c, z,
-                                                     active)
-            n = jnp.where(active, n + run + 1, n)
+            p, c, z, run, commit, active = H._symbol_step_buf(
+                cfg, arrs, ctx, buf, base, p, c, z, active)
+            n = jnp.where(commit, n + run + 1, n)
         st_ref[0] = p
         st_ref[1] = c
         st_ref[2] = z

@@ -83,6 +83,82 @@ def _idct_kernel(coeff_ref, q_ref, out_ref):
     out_ref[...] = pix
 
 
+def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref, out_ref):
+    # coeff_ref: (GY, mx, du_per_mcu, 64) int16 — raw stream-order MCU rows
+    # q_ref:     (8, 8) int32 (signed-int8 reinterpreted)
+    # out_ref:   (GY*ssy*8, mx*ssx*8) int32 pixel rows
+    q = q_ref[...]
+    mx = coeff_ref.shape[1]
+    u = mx * ssx
+    for gy in range(gy_n):
+        for sy in range(ssy):
+            lo = off + sy * ssx
+            x = coeff_ref[gy, :, lo:lo + ssx, :]  # (mx, ssx, 64)
+            # unit order (mcu, sx) == plane x order; zig-zag already undone
+            xt = x.reshape(u, 64).astype(jnp.int32).T  # (64, u)
+            dq = _wrap16(xt.reshape(8, 8, u) * q[:, :, None])
+            cols = [[dq[i, j, :] for j in range(8)] for i in range(8)]
+            for j in range(8):
+                res = _vector8([cols[i][j] for i in range(8)])
+                for i in range(8):
+                    cols[i][j] = res[i]
+            for i in range(8):
+                cols[i] = list(_vector8(cols[i]))
+            pix = jnp.stack([jnp.stack(r, axis=0) for r in cols], axis=0)
+            pix = jnp.clip(_wrap16(pix + 128), 0, 255)  # (8, 8, u)
+            # (i, j, u) -> plane rows (i, u*8 + j)
+            rows = pix.transpose(0, 2, 1).reshape(8, u * 8)
+            r0 = (gy * ssy + sy) * 8
+            out_ref[r0:r0 + 8, :] = rows
+
+
+def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
+                         num_mcus_x: int, num_mcus_y: int, du_per_mcu: int,
+                         off: int, ssx: int, ssy: int) -> jax.Array:
+    """Fused de-interleave + dequant + IDCT: stream-order coefficients
+    straight to a component's uint8 pixel plane.
+
+    Replaces the XLA 6D coefficient transpose (ops/transpose.py) + blocked
+    IDCT for interleaved scans: each grid step reads a strip of raw MCU
+    rows (block index map does the de-interleave addressing), statically
+    slices its component, and writes dense plane rows — the whole tail in
+    one VMEM pass. The reference needs two separate kernels for this
+    (decode_transpose.cu:41-132 scatter + idct.cu:44-223).
+
+    Args:
+      coeffs: int16[num_mcus * du_per_mcu * 64] natural-order stream
+        (post DC un-delta).
+      qtable: raw DQT bytes, natural order, (64,).
+    Returns uint8[(num_mcus_y*ssy*8, num_mcus_x*ssx*8)].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = coeffs.reshape(num_mcus_y, num_mcus_x, du_per_mcu, 64)
+    q = qtable.reshape(8, 8).astype(jnp.int32)
+    q = ((q + 0x80) & 0xFF) - 0x80  # signed-int8 quirk (idct.cu:179)
+
+    gy_n = next((g for g in (8, 4, 2, 1) if num_mcus_y % g == 0), 1)
+    h = num_mcus_y * ssy * 8
+    w = num_mcus_x * ssx * 8
+    out = pl.pallas_call(
+        partial(_stream_idct_kernel, gy_n, ssx, ssy, off),
+        grid=(num_mcus_y // gy_n,),
+        in_specs=[
+            pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu, 64),
+                         lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gy_n * ssy * 8, w), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(x, q)
+    return out.astype(jnp.uint8)
+
+
 def dequant_idct_blocks_pallas(coeffs: jax.Array, qtable: jax.Array) -> jax.Array:
     """coeffs: int32[N, 8, 8] natural order; qtable raw bytes (64,)/(8,8).
 

@@ -256,6 +256,11 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
     with_idct else int16 coefficient planes), cropped to component size."""
     planes: Dict[int, jax.Array] = {}
     qidx: Dict[int, int] = {}
+    pix: Dict[int, jax.Array] = {}
+    # fused tail on TPU: stream-order coefficients go straight to pixel
+    # planes inside one Pallas kernel (de-interleave addressing via the
+    # block index map), skipping the XLA 6D coefficient transpose
+    fused_tail = with_idct and jax.default_backend() == "tpu"
     for sp, inp in zip(signature.scans, scan_inputs):
         cfg = sp.cfg
         if sp.host_destuff:
@@ -274,6 +279,14 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
         coeffs = decode_scan(cfg, arrs)
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
         coeffs = undelta_dc(cfg, comp_slots, coeffs)
+        if fused_tail:
+            from .ops.idct_pallas import idct_stream_to_plane
+
+            for c in sp.comps:
+                pix[c[0]] = idct_stream_to_plane(
+                    coeffs, qtables[c[6]], sp.num_mcus_x, sp.num_mcus_y,
+                    cfg.du_per_mcu, c[1], c[2], c[3])
+            continue
         t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
         scan_planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y,
                                    t_comps)
@@ -283,6 +296,9 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
 
     out = []
     for ci, (size_x, size_y) in enumerate(signature.comp_sizes):
+        if ci in pix:
+            out.append(pix[ci][:size_y, :size_x])
+            continue
         plane = planes[ci]
         if with_idct:
             plane = dequant_idct_plane(plane, qtables[qidx[ci]])

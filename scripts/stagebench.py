@@ -72,9 +72,10 @@ def main() -> int:
     inp = jax.device_put({**inputs["scans"][0],
                           "qtables": inputs["qtables"]})
 
-    def mk_arrs(i):
+    def mk_arrs(i, words=None):
         return H.ScanArrays(
-            words=i["words"], seg_of_subseq=i["seg_of_subseq"],
+            words=i["words"] if words is None else words,
+            seg_of_subseq=i["seg_of_subseq"],
             seg_first_lane=i["seg_first_lane"],
             seg_num_subseq=i["seg_num_subseq"], maxcode=i["maxcode"],
             vsm=i["vsm"], huffval=i["huffval"])
@@ -171,6 +172,80 @@ def main() -> int:
         outs = [dequant_idct_plane(p, i["qtables"][c[6]])
                 for p, c in zip(planes, sp.comps)]
         return sum(o[0:1, 0:1].astype(jnp.int32) for o in outs)
+
+    # --slope: the tunnel's per-dispatch RTT (~25-40 ms, noisy) swamps a
+    # single-dispatch timing of a few-ms stage. Each slope probe runs the
+    # stage K times inside ONE executable, serialized by a true vector
+    # dependence (an always-false test of the previous rep's output perturbs
+    # the next rep's input words — XLA can neither fold nor hoist it), and
+    # reports (t_K - t_1) / (K - 1). Validated against hand-written kernels;
+    # scalar-guard variants of this harness get CSE'd by XLA — keep the
+    # dependence on the full output.
+    def slope(name, stage_fn, K=3):
+        def rep_f(KK):
+            def f(i):
+                words = i["words"]
+                acc = jnp.zeros((), words.dtype)
+                tot = jnp.int32(0)
+                for _ in range(KK):
+                    w2 = jnp.where(acc == jnp.asarray(0xDEADBEEF, words.dtype),
+                                   words + 1, words)
+                    o = stage_fn(i, w2)
+                    s = o.reshape(-1)[0].astype(jnp.int32)
+                    acc = s.astype(words.dtype)
+                    tot = tot + s
+                return tot
+            return f
+
+        t0 = time.time()
+        ts = {}
+        for KK in (1, K):
+            exe = compile_probe(rep_f(KK))
+            ts[KK] = timeit(run(exe), iters) * 1e3
+        out[name] = (ts[K] - ts[1]) / (K - 1)
+        print(f"{name}: {out[name]:.2f} ms  (t1 {ts[1]:.1f}, t{K} {ts[K]:.1f},"
+              f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
+              flush=True)
+
+    if "--slope" in sys.argv:
+        def s_sync(i, w):
+            arrs = mk_arrs(i, w)
+            ctx = H.make_ctx(cfg, arrs)
+            p, c, z, n = H.sync_states(cfg, arrs, ctx)
+            return p + n
+
+        def s_emit(i, w):
+            arrs = mk_arrs(i, w)
+            ctx = H.make_ctx(cfg, arrs)
+            p, c, z, n = H.sync_states(cfg, arrs, ctx)
+            n_off = H.symbol_offsets(cfg, arrs, n)
+            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+            return wpos[0] + m
+
+        def s_scan(i, w):
+            return H.decode_scan(cfg, mk_arrs(i, w)).astype(jnp.int32)
+
+        def s_tail(i, w):
+            arrs = mk_arrs(i, w)
+            coeffs = H.decode_scan(cfg, arrs)
+            from jpeggpu_tpu.ops.dc import undelta_dc
+            from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane
+            coeffs = undelta_dc(
+                cfg, tuple((c[1], c[2] * c[3]) for c in sp.comps), coeffs)
+            outs = [idct_stream_to_plane(
+                coeffs, i["qtables"][c[6]], sp.num_mcus_x, sp.num_mcus_y,
+                cfg.du_per_mcu, c[1], c[2], c[3]) for c in sp.comps]
+            return sum(o[0].astype(jnp.int32) for o in outs)
+
+        slope("sync_slope_ms", s_sync)
+        slope("scan_slope_ms", s_scan)
+        slope("emit_slope_ms", s_emit)
+        slope("pipe_slope_ms", s_tail)
+        out["write_slope_ms"] = out["scan_slope_ms"] - out["sync_slope_ms"]
+        out["tail_slope_ms"] = out["pipe_slope_ms"] - out["scan_slope_ms"]
+        print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+        return 0
 
     cfg_p = dataclasses.replace(cfg, tuning=Tuning(entropy_backend="pallas"))
 

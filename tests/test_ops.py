@@ -119,6 +119,41 @@ def test_sync_states_match_sequential(test_image, spec):
     assert np.array_equal(got, expect)
 
 
+def test_sync_states_chain_follow(test_image):
+    """Chain-follow rounds (Gauss-Seidel within mis-synced chains,
+    Tuning.chain_follow > 1) converge to exactly the sequential boundary
+    states. Uses a narrow frontier width so compacted follow rounds are
+    actually exercised, not just the full-width fallback."""
+    import dataclasses as _dc
+
+    from jpeggpu_tpu.config import Tuning
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], quality=95))
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = _dc.replace(sp.cfg, tuning=Tuning(chain_follow=3,
+                                            frontier_width=6))
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        arrs = H.ScanArrays(
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx)
+
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    expect = golden.sequential_boundary_states(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
 @pytest.mark.parametrize("spec", [
     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)]),
@@ -325,3 +360,44 @@ def test_idct_pallas_interpret_matches_xla():
         out = np.asarray(ip.dequant_idct_blocks_pallas(
             jnp.asarray(blocks), jnp.asarray(q)))
     assert np.array_equal(ref, out)
+
+
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3),
+    EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], quality=95),
+    EncodeSpec(sampling=[(1, 2), (1, 1), (1, 1)]),
+])
+def test_idct_stream_to_plane_matches_split_tail(test_image, spec):
+    """The fused stream->plane IDCT kernel (de-interleave via block index
+    maps + in-kernel IDCT, interpret mode on CPU) is bit-identical to the
+    split tail (ops/transpose.py deinterleave + dequant_idct_plane) for
+    every component."""
+    from jpeggpu_tpu.ops.dc import undelta_dc
+    from jpeggpu_tpu.ops.idct import dequant_idct_plane
+    from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane
+    from jpeggpu_tpu.ops.transpose import deinterleave
+
+    data = encode(test_image, spec)
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = sp.cfg
+    i = inputs["scans"][0]
+    arrs = H.ScanArrays(
+        words=jnp.asarray(i["words"]),
+        seg_of_subseq=jnp.asarray(i["seg_of_subseq"]),
+        seg_first_lane=jnp.asarray(i["seg_first_lane"]),
+        seg_num_subseq=jnp.asarray(i["seg_num_subseq"]),
+        maxcode=jnp.asarray(i["maxcode"]), vsm=jnp.asarray(i["vsm"]),
+        huffval=jnp.asarray(i["huffval"]))
+    coeffs = H.decode_scan(cfg, arrs)
+    coeffs = undelta_dc(cfg, tuple((c[1], c[2] * c[3]) for c in sp.comps),
+                        coeffs)
+    t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
+    planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y, t_comps)
+    qt = jnp.asarray(inputs["qtables"])
+    for c, plane in zip(sp.comps, planes):
+        ref = np.asarray(dequant_idct_plane(plane, qt[c[6]]))
+        fused = np.asarray(idct_stream_to_plane(
+            coeffs, qt[c[6]], sp.num_mcus_x, sp.num_mcus_y,
+            cfg.du_per_mcu, c[1], c[2], c[3]))
+        assert np.array_equal(ref, fused)
