@@ -13,14 +13,19 @@ device I/O at ~40 MB/s, three orders of magnitude below the PCIe link the
 reference assumes); completion synchronized on a 1-byte output slice.
 
 Modes:
-  (default)    12 MP single-image steady state -> the driver JSON line
+  (default)    12 MP depth-2 pipelined stream -> the driver JSON line
+               (the reference's own loop is back-to-back streaming; its
+               ~10 us launch latency is this environment's ~30 ms tunnel
+               RTT, so the stream number is the decoder, not the tunnel).
+               Single-dispatch avg/max latency reported alongside.
+  --single     12 MP unpipelined single-dispatch steady state as the JSON
+               line instead (includes one tunnel RTT per image)
   --all        6/12/26/39 MP configs (reference README.md:51-65 analog;
                the >12 MP images are synthesized from IMG_6510 since only
                that image ships in this environment)
   --batch      merged-lane BatchDecoder throughput (B same-geometry images
                decoded as one wide executable) — the TPU-native regime
-  --pipelined  depth-2 in-flight single-image dispatch (hides the ~26 ms
-               tunnel RTT; closest analog of the reference's stream loop)
+  --pipelined  (now the default; flag kept for compatibility)
 
 vs_baseline: the reference's published 012mp-bus.jpg number on an RTX 2070 —
 226.66 img/s * 12.08 MP = 2738 MP/s (README.md:54-55, BASELINE.md).
@@ -230,20 +235,40 @@ def main():
         print(f"e2e (incl. parse+destuff+H2D+full D2H): {s['img_s']:.2f} "
               f"img/s, avg {s['avg_ms']:.1f} ms, {s['mps']:.1f} MP/s",
               file=sys.stderr, flush=True)
-    if "--pipelined" in sys.argv:
-        s = _bench_pipelined(data, iters=iters)
-        print(f"pipelined: {s['img_s']:.2f} img/s, {s['mps']:.1f} MP/s",
+    if "--single" in sys.argv:
+        s = _bench_one(data, iters=iters)
+        print(f"single: {s['img_s']:.2f} img/s, avg {s['avg_ms']:.1f} ms, "
+              f"max {s['max_ms']:.1f} ms, {s['mps']:.1f} MP/s",
               file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "decode_throughput_12mp_single_dispatch",
+            "value": round(s["mps"], 2),
+            "unit": "MP/s/chip",
+            "vs_baseline": round(s["mps"] / BASELINE_MPS, 4),
+        }))
+        return 0
 
-    s = _bench_one(data, iters=iters)
-    print(f"single: {s['img_s']:.2f} img/s, avg {s['avg_ms']:.1f} ms, "
-          f"max {s['max_ms']:.1f} ms, {s['mps']:.1f} MP/s",
+    # ("--pipelined" is the default now; accepted for compatibility)
+    # headline: depth-2 pipelined stream throughput — the analog of the
+    # reference's back-to-back benchmark loop (benchmark_common.hpp:30-61:
+    # its ~10 us kernel-launch latency is hidden by the stream; this
+    # environment's ~30 ms tunnel dispatch RTT plays that role here, so an
+    # unpipelined single-dispatch number measures the tunnel, not the
+    # decoder). Single-dispatch latency is still reported on stderr.
+    lat = _bench_one(data, iters=iters)
+    print(f"single-dispatch latency: avg {lat['avg_ms']:.1f} ms, "
+          f"max {lat['max_ms']:.1f} ms ({lat['mps']:.1f} MP/s unpipelined)",
+          file=sys.stderr, flush=True)
+    s = _bench_pipelined(data, iters=iters)
+    print(f"pipelined stream: {s['img_s']:.2f} img/s, {s['mps']:.1f} MP/s",
           file=sys.stderr, flush=True)
     print(json.dumps({
-        "metric": "decode_throughput_12mp_single_image",
+        "metric": "decode_throughput_12mp_stream",
         "value": round(s["mps"], 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(s["mps"] / BASELINE_MPS, 4),
+        "single_dispatch_avg_ms": round(lat["avg_ms"], 2),
+        "single_dispatch_max_ms": round(lat["max_ms"], 2),
     }))
 
 

@@ -534,7 +534,7 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
-                frontier_width: int | None = None):
+                frontier_width: int | None = None, diag: bool = False):
     """Fixed-point synchronization of subsequence decoder states.
 
     Round 0 decodes every subsequence speculatively ("blind"); round 1
@@ -559,6 +559,8 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     p, c, z, n = _decode_subseq_pass(cfg, arrs, ctx, blind_p, zeros, zeros,
                                      ctx.lane_valid)
     if cfg.num_subseq <= 1:
+        if diag:
+            return p, c, z, n, jnp.int32(0), jnp.int32(0)
         return p, c, z, n
 
     def shift_start(p, c, z):
@@ -600,13 +602,45 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     F = min(F, K)
     Kc = max(1, K // F)
 
-    # Phase A: full-width rounds while the frontier is wider than the chain
-    # budget (rare: right after round 1 on pathological content). The
-    # frontier count can only shrink (chains never split), so phase B's
-    # head list, once taken, covers every chain to the end.
+    # Phase A: drain the frontier down to the chain budget. While it is
+    # wider than K every lane re-decodes (full round); in (Kc, K] a single
+    # compacted pass at width K handles it — a full round costs a whole
+    # blind-pass re-decode just to fix a few hundred lanes. The frontier
+    # count can only shrink (chains never split), so phase B's head list,
+    # once taken, covers every chain to the end.
+    def wide_round(p, c, z, n, frontier):
+        idx_raw = jnp.nonzero(frontier, size=K,
+                              fill_value=-1)[0].astype(jnp.int32)
+        valid = idx_raw >= 0
+        idx = jnp.clip(idx_raw, 0, lanes - 1)
+        cctx = gather_ctx(ctx, idx, valid)
+        prev = jnp.clip(idx - 1, 0, lanes - 1)
+        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx,
+                                             p[prev], c[prev], z[prev],
+                                             valid)
+        d_comp = valid & ((p2 != p[idx]) | (c2 != c[idx]) | (z2 != z[idx]))
+        sent = lanes + jnp.arange(K, dtype=jnp.int32)
+        uidx = jnp.where(valid, idx, sent)
+        upd = lambda full, comp: full.at[uidx].set(comp, mode="drop",
+                                                   unique_indices=True)
+        p = upd(p, p2)
+        c = upd(c, c2)
+        z = upd(z, z2)
+        n = upd(n, n2)
+        delta = jnp.zeros(lanes, jnp.bool_).at[
+            jnp.where(d_comp, idx, sent)].set(True, mode="drop",
+                                              unique_indices=True)
+        return p, c, z, n, delta
+
     def full_body(state):
         p, c, z, n, delta, it = state
-        p, c, z, n, delta = full_round(p, c, z, n)
+        frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+        cnt = jnp.sum(frontier.astype(jnp.int32))
+        p, c, z, n, delta = jax.lax.cond(
+            cnt > K,
+            lambda a: full_round(a[0], a[1], a[2], a[3]),
+            lambda a: wide_round(*a),
+            (p, c, z, n, frontier))
         return p, c, z, n, delta, it + 1
 
     def full_cond(state):
@@ -702,7 +736,10 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         return jnp.any(head < lanes) & (it < lanes)
 
     state = (p, c, z, n, heads0, it0)
-    p, c, z, n, _, _ = jax.lax.while_loop(cond2, body, state)
+    p, c, z, n, _, it = jax.lax.while_loop(cond2, body, state)
+    if diag:
+        # (full-width rounds after round 1, total rounds) — profiling aid
+        return p, c, z, n, it0, it
     return p, c, z, n
 
 
@@ -923,6 +960,14 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
     sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
     sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
     pos0 = seg_pos_base + n_off
+
+    if _resolve_entropy_backend(cfg) == "pallas":
+        from . import huffman_pallas
+
+        val32, wpos, m = huffman_pallas.emit_pass(
+            cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, ctx.lane_valid,
+            s_cap)
+        return val32.astype(jnp.int16), wpos, m
 
     val = jnp.zeros((s_cap, lanes), jnp.int16)
     wpos = jnp.full((s_cap, lanes), -1, jnp.int32)

@@ -167,6 +167,134 @@ def subseq_pass(cfg, arrs, ctx, p0, c0, z0, active0):
     return p[0], c[0], z[0], n[0]
 
 
+_EMIT_BLOCK = 512
+
+
+def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
+                 hv_ref, lim_ref, dvsm_ref, vsm0_ref, mc_ref, vsm_ref,
+                 p0_ref, c0_ref, z0_ref, pos0_ref, bound_ref, a0_ref,
+                 val_out, wpos_out, m_out, st_ref):
+    from . import huffman as H
+
+    ctx = _make_ctx_ns(cfg, window_ref[:], we_ref[0], sb_ref[0], es_ref[0],
+                       lw_ref[0], hv_ref[:], lim_ref[:], dvsm_ref[:],
+                       vsm0_ref[0])
+    arrs = SimpleNamespace(maxcode=mc_ref[:], vsm=vsm_ref[:])
+    bound = bound_ref[0]
+    unroll = cfg.tuning.unroll
+    active0 = ((a0_ref[0] != 0) & (p0_ref[0] < ctx.end_subseq)
+               & (pos0_ref[0] < bound))
+    st_ref[0] = p0_ref[0]
+    st_ref[1] = c0_ref[0]
+    st_ref[2] = z0_ref[0]
+    st_ref[3] = pos0_ref[0]
+    st_ref[4] = active0.astype(jnp.int32)
+    st_ref[5] = jnp.zeros_like(p0_ref[0])  # m: one past last written slot
+
+    def body(carry):
+        k, _ = carry
+        p = st_ref[0]
+        c = st_ref[1]
+        z = st_ref[2]
+        pos = st_ref[3]
+        active = st_ref[4] != 0
+        m = st_ref[5]
+        buf, base = H._refill_buf(ctx, p)
+        rows_v, rows_w = [], []
+        for u in range(unroll):
+            data, stall = H._load32_buf(ctx, p, buf, base)
+            length, sym, run = H._decode_symbol(cfg, arrs, ctx, data, c, z)
+            ok = active & (pos < bound) & ~stall
+            fits = p + length <= ctx.end_subseq
+            commit = ok & fits
+            active = active & ~(ok & ~fits) & (pos < bound)
+            wp = pos + run
+            rows_v.append(jnp.where(commit & (wp < bound), sym, 0))
+            rows_w.append(jnp.where(commit, wp, -1))
+            p = jnp.where(commit, p + length, p)
+            z_new = z + run + 1
+            wrap = z_new >= 64
+            c_new = jnp.where(wrap, c + 1, c)
+            c_new = jnp.where(c_new >= cfg.du_per_mcu, 0, c_new)
+            z = jnp.where(commit, jnp.where(wrap, 0, z_new), z)
+            c = jnp.where(commit, c_new, c)
+            pos = jnp.where(commit, wp + 1, pos)
+            m = jnp.where(commit, k * unroll + u + 1, m)
+        # slots never reached stay uninitialized: every consumer gates on
+        # slot < m (per lane), which only covers written rows
+        val_out[pl.ds(k * unroll, unroll), :] = jnp.stack(rows_v)
+        wpos_out[pl.ds(k * unroll, unroll), :] = jnp.stack(rows_w)
+        st_ref[0] = p
+        st_ref[1] = c
+        st_ref[2] = z
+        st_ref[3] = pos
+        st_ref[4] = active.astype(jnp.int32)
+        st_ref[5] = m
+        k = k + 1
+        return k, jnp.any(active) & (k * unroll < s_cap)
+
+    jax.lax.while_loop(lambda s: s[1], body,
+                       (jnp.int32(0), jnp.any(active0)))
+    m_out[0] = st_ref[5]
+
+
+def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
+    """Pallas drop-in for the loop of ops.huffman.decode_write_emit.
+
+    Decodes each lane's subsequence from its synced start state entirely in
+    VMEM, emitting (value, position) densely at (slot, lane). Returns
+    (val int32[s_cap, lanes], wpos int32[s_cap, lanes], m int32[lanes]) —
+    the caller casts val to int16.
+    """
+    width = pos0.shape[0]
+    w = _block(width, _EMIT_BLOCK)
+    grid = (width // w,)
+
+    def row(x):
+        return x.astype(jnp.int32).reshape(1, width)
+
+    args = (
+        ctx.window,
+        row(ctx.word_end), row(ctx.seg_base_bits), row(ctx.end_subseq),
+        row(ctx.lane_word0),
+        ctx.hv_packed, ctx.limits, ctx.dvsm, ctx.vsm0.reshape(1, -1),
+        arrs.maxcode, arrs.vsm,
+        row(sp), row(sc), row(sz), row(pos0), row(bound_full), row(active0),
+    )
+    in_specs = [
+        pl.BlockSpec((34, w), lambda b: (0, b), memory_space=pltpu.VMEM),
+        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
+        _full_spec(ctx.hv_packed.shape), _full_spec(ctx.limits.shape),
+        _full_spec(ctx.dvsm.shape), _full_spec((1, ctx.vsm0.shape[0])),
+        _full_spec(arrs.maxcode.shape), _full_spec(arrs.vsm.shape),
+        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
+        _row_spec(w),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((s_cap, width), jnp.int32),
+        jax.ShapeDtypeStruct((s_cap, width), jnp.int32),
+        jax.ShapeDtypeStruct((1, width), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((s_cap, w), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s_cap, w), lambda b: (0, b), memory_space=pltpu.VMEM),
+        _row_spec(w),
+    ]
+    val, wpos, m = pl.pallas_call(
+        functools.partial(_emit_kernel, cfg, s_cap),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((6, w), jnp.int32)],
+        # two (s_cap, block) emission buffers live in VMEM per block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+    return val, wpos, m[0]
+
+
 def _write_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
                   lim_ref, dvsm_ref, vsm0_ref, mc_ref, vsm_ref, inv_ref,
                   p0_ref, c0_ref, z0_ref, pos0_ref, du0_ref, bound_ref,

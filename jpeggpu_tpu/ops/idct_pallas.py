@@ -83,10 +83,13 @@ def _idct_kernel(coeff_ref, q_ref, out_ref):
     out_ref[...] = pix
 
 
-def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref, out_ref):
+def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref,
+                        lo_ref, hi_ref):
     # coeff_ref: (GY, mx, du_per_mcu, 64) int16 — raw stream-order MCU rows
     # q_ref:     (8, 8) int32 (signed-int8 reinterpreted)
-    # out_ref:   (GY*ssy*8, mx*ssx*8) int32 pixel rows
+    # lo/hi_ref: (GY*ssy*8, mx*ssx) int32 — pixels j=0..3 / j=4..7 of each
+    #            unit byte-packed little-endian (Mosaic has no (u, 8)->(8u)
+    #            interleave; the byte lanes provide it for free)
     q = q_ref[...]
     mx = coeff_ref.shape[1]
     u = mx * ssx
@@ -104,12 +107,14 @@ def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref, out_ref):
                     cols[i][j] = res[i]
             for i in range(8):
                 cols[i] = list(_vector8(cols[i]))
-            pix = jnp.stack([jnp.stack(r, axis=0) for r in cols], axis=0)
-            pix = jnp.clip(_wrap16(pix + 128), 0, 255)  # (8, 8, u)
-            # (i, j, u) -> plane rows (i, u*8 + j)
-            rows = pix.transpose(0, 2, 1).reshape(8, u * 8)
             r0 = (gy * ssy + sy) * 8
-            out_ref[r0:r0 + 8, :] = rows
+            for i in range(8):
+                b = [jnp.clip(_wrap16(cols[i][j] + 128), 0, 255)
+                     for j in range(8)]
+                lo_ref[r0 + i, :] = (b[0] | (b[1] << 8) | (b[2] << 16)
+                                     | (b[3] << 24))
+                hi_ref[r0 + i, :] = (b[4] | (b[5] << 8) | (b[6] << 16)
+                                     | (b[7] << 24))
 
 
 def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
@@ -140,8 +145,10 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
 
     gy_n = next((g for g in (8, 4, 2, 1) if num_mcus_y % g == 0), 1)
     h = num_mcus_y * ssy * 8
-    w = num_mcus_x * ssx * 8
-    out = pl.pallas_call(
+    u = num_mcus_x * ssx
+    word_spec = pl.BlockSpec((gy_n * ssy * 8, u), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM)
+    lo, hi = pl.pallas_call(
         partial(_stream_idct_kernel, gy_n, ssx, ssy, off),
         grid=(num_mcus_y // gy_n,),
         in_specs=[
@@ -151,12 +158,15 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
             pl.BlockSpec((8, 8), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gy_n * ssy * 8, w), lambda g: (g, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        out_specs=[word_spec, word_spec],
+        out_shape=[jax.ShapeDtypeStruct((h, u), jnp.int32)] * 2,
         interpret=jax.default_backend() == "cpu",
     )(x, q)
-    return out.astype(jnp.uint8)
+    # interleave the lo/hi words per unit, then let the byte lanes fan out:
+    # (h, u, 2) int32 -> (h, u, 2, 4) uint8 == (h, u*8) plane rows
+    words = jnp.stack([lo, hi], axis=-1)
+    pix = jax.lax.bitcast_convert_type(words, jnp.uint8)
+    return pix.reshape(h, u * 8)
 
 
 def dequant_idct_blocks_pallas(coeffs: jax.Array, qtable: jax.Array) -> jax.Array:

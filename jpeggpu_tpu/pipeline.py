@@ -31,15 +31,15 @@ from .reader import JpegStream, Scan, num_mcus_in_segment, parse
 
 
 def _bucket(n: int, quantum: int = 256) -> int:
-    """Round up to a shape bucket: next multiple of `quantum` below 4*quantum,
-    then powers of two — bounds recompiles to O(log n) per axis."""
+    """Round up to a shape bucket: next multiple of `quantum` below
+    4*quantum, then multiples of 8*quantum — bounds recompiles to O(n /
+    (8*quantum)) per axis while capping lane padding at 8*quantum (the old
+    power-of-two buckets wasted up to 2x width on every pass)."""
     n = max(n, 1)
     if n <= 4 * quantum:
         return -(-n // quantum) * quantum
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+    q = 8 * quantum
+    return -(-n // q) * q
 
 
 @dataclasses.dataclass(frozen=True)

@@ -194,7 +194,7 @@ def main() -> int:
                     s = o.reshape(-1)[0].astype(jnp.int32)
                     acc = s.astype(words.dtype)
                     tot = tot + s
-                return tot
+                return tot.reshape(1)
             return f
 
         t0 = time.time()
@@ -235,7 +235,7 @@ def main() -> int:
             outs = [idct_stream_to_plane(
                 coeffs, i["qtables"][c[6]], sp.num_mcus_x, sp.num_mcus_y,
                 cfg.du_per_mcu, c[1], c[2], c[3]) for c in sp.comps]
-            return sum(o[0].astype(jnp.int32) for o in outs)
+            return sum(o[0, 0].astype(jnp.int32) for o in outs)
 
         slope("sync_slope_ms", s_sync)
         slope("scan_slope_ms", s_scan)

@@ -269,6 +269,25 @@ def test_pallas_entropy_backend_bitexact(test_image, spec):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+@pytest.mark.parametrize("spec", [
+    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
+    EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], quality=95),
+])
+def test_pallas_emit_tiles_bitexact(test_image, spec):
+    """The TPU production combination — Pallas sync + Pallas dense emission
+    + MXU tile assembly (interpret mode on CPU) — is bit-identical to the
+    golden decoder."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, spec)
+    plan = build_plan(parse(data), tuning=Tuning(entropy_backend="pallas",
+                                                 write_mode="tiles"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_pallas_write_residual_lanes():
     """A low-entropy image produces subsequences spanning more data units
     than the kernel's VMEM window; those lanes must resume exactly on the
