@@ -24,8 +24,10 @@ class Tuning:
         scatters (ops/huffman.py decode_write).
       straggler_width: lane count of the compacted tail of the writing
         decode, entered once fewer than this many lanes remain active.
-      unroll: symbol decodes per loop iteration; amortizes per-iteration
-        fixed costs (carry traffic + loop plumbing) on the VPU.
+      unroll: symbol decodes per loop iteration (one rolling bit-buffer
+        refill each); amortizes per-iteration fixed costs. 0 selects 16 on
+        TPU backends (measured best) and 8 elsewhere (CPU pays the body
+        size in compile time).
       chain_follow: subsequences re-decoded per chain per compacted
         synchronization round. A mis-synced chain drains one subsequence
         per Jacobi round; following the chain F-deep inside one round
@@ -50,7 +52,7 @@ class Tuning:
     frontier_width: int = 2048
     write_chunk: int = 256
     straggler_width: int = 4096
-    unroll: int = 8
+    unroll: int = 0
     chain_follow: int = 0
     entropy_backend: str = "auto"
     write_mode: str = "auto"
@@ -65,18 +67,19 @@ class Tuning:
             raise ValueError(
                 f"write_mode must be auto|scatter|matmul|tiles|fused, "
                 f"got {self.write_mode!r}")
-        for name in ("frontier_width", "write_chunk", "straggler_width",
-                     "unroll"):
+        for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
         if self.chain_follow < 0:
             raise ValueError("chain_follow must be >= 0 (0 = auto)")
         # power-of-two <= 128: keeps every 128-slot assembly-round boundary
         # aligned to a bit-buffer refill, so those slots are never stall
-        # holes (ops/huffman.py assemble_coefficients reads slot 0's du)
-        if self.unroll > 128 or (self.unroll & (self.unroll - 1)):
-            raise ValueError("unroll must be a power of two <= 128")
-        if self.write_chunk % self.unroll:
+        # holes (ops/huffman.py assemble_coefficients reads slot 0's du);
+        # 0 = auto (both auto choices satisfy the constraints)
+        if self.unroll < 0 or self.unroll > 128 or \
+                (self.unroll & (self.unroll - 1)):
+            raise ValueError("unroll must be a power of two <= 128, or 0")
+        if self.unroll and self.write_chunk % self.unroll:
             raise ValueError("write_chunk must be a multiple of unroll")
 
 

@@ -65,6 +65,11 @@ class ScanConfig:
     # images of similar density share executables); lanes spanning more
     # drain through the leftover scatter
     tile_d: int = 96
+    # packed-huffval words per table in the symbol decode's one-hot select:
+    # ceil(max table length / 4) bucketed to a multiple of 8 by build_plan
+    # (the canonical AC tables have 162 symbols -> 48 rows, not 64; the
+    # zero-padded tail reads 0 either way so trimming is exact)
+    hv_rows: int = 64
     # static tuning knobs (part of the executable cache key)
     tuning: Tuning = Tuning()
 
@@ -128,11 +133,12 @@ def make_ctx(cfg: ScanConfig, arrs: ScanArrays,
     window = jnp.concatenate([prev_last, words2d, next_first], axis=0)
 
     # pack huffval bytes big-endian-in-word so byte j of entry 4k+j sits at
-    # bits [24-8j, ...) of word k — extracted with shifts, no gather
+    # bits [24-8j, ...) of word k — extracted with shifts, no gather; only
+    # the first cfg.hv_rows words can be non-zero (see ScanConfig.hv_rows)
     hv = arrs.huffval.reshape(C.MAX_HUFF_PER_SCAN, 256)
     hv4 = hv.reshape(C.MAX_HUFF_PER_SCAN, 64, 4)
-    hv_packed = (hv4[..., 0] << 24) | (hv4[..., 1] << 16) | \
-        (hv4[..., 2] << 8) | hv4[..., 3]
+    hv_packed = ((hv4[..., 0] << 24) | (hv4[..., 1] << 16) |
+                 (hv4[..., 2] << 8) | hv4[..., 3])[:, :cfg.hv_rows]
 
     # fast-path derived tables (all tiny; traced once per executable):
     # limits[t, j] = first 32-bit-left-aligned value whose code is longer
@@ -351,10 +357,10 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     vsm = jnp.sum(jnp.where(iota16_col == l_idx[None, :], vsm_rows, 0), axis=0)
     idx = (vsm + code) & 0xFF
 
-    # symbol value: one-hot over the packed 64-word huffval row + byte extract
+    # symbol value: one-hot over the packed huffval row + byte extract
     word_i = idx >> 2
     byte_i = idx & 3
-    iota64 = _iota_col(64)
+    iota64 = _iota_col(ctx.hv_packed.shape[1])
     oh_w = iota64 == word_i[None, :]
     groups = cfg.comp_groups
 
@@ -401,11 +407,11 @@ def _category_fast(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     vsm = vsm0 + jnp.sum(jnp.where(ge15, dv, 0), axis=0)
     idx = (vsm + code) & 0xFF
 
-    # symbol byte via one-hot over the packed 64-word huffval row (an MXU
+    # symbol byte via one-hot over the packed huffval row (an MXU
     # formulation was tried and lost: 16-wide contractions underutilize it)
     word_i = idx >> 2
     byte_i = idx & 3
-    iota64 = _iota_col(64)
+    iota64 = _iota_col(ctx.hv_packed.shape[1])
     oh_w = iota64 == word_i[None, :]
 
     def hv_row(g):
@@ -485,6 +491,16 @@ def _symbol_step(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return p, c, z, sym, run, commit
 
 
+def _resolve_unroll(cfg: ScanConfig) -> int:
+    """Tuning.unroll, with 0 = auto: 16 on TPU backends (measured best for
+    the rolling-buffer loops), 8 elsewhere (CPU pays the body size twice
+    over in compile time)."""
+    u = cfg.tuning.unroll
+    if u == 0:
+        return 8 if jax.default_backend() == "cpu" else 16
+    return u
+
+
 def _resolve_entropy_backend(cfg: ScanConfig) -> str:
     backend = cfg.tuning.entropy_backend
     if backend == "auto":
@@ -517,7 +533,7 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         # steps off it (amortizes the one-hot window selects AND the
         # per-iteration fixed cost which otherwise dominate the VPU work)
         buf, base = _refill_buf(ctx, p)
-        for _u in range(cfg.tuning.unroll):
+        for _u in range(_resolve_unroll(cfg)):
             p, c, z, run, commit, active = _symbol_step_buf(
                 cfg, arrs, ctx, buf, base, p, c, z, active)
             n = jnp.where(commit, n + run + 1, n)
@@ -758,10 +774,12 @@ def _make_write_round(cfg: ScanConfig, arrs: ScanArrays, cctx: _Ctx, bound,
     a single element-granular scatter into the coefficient stream."""
     natural = jnp.asarray(np.asarray(C.ORDER_NATURAL), jnp.int32)
 
+    unroll = _resolve_unroll(cfg)
+
     def round_body(p, c, z, pos, active, out):
         def inner(k, istate):
             p, c, z, pos, active, wpos_buf, wval_buf = istate
-            for u in range(cfg.tuning.unroll):
+            for u in range(unroll):
                 alive = active & (pos < bound)
                 p, c, z, sym, run, commit = _symbol_step(
                     cfg, arrs, cctx, p, c, z, alive)
@@ -777,7 +795,7 @@ def _make_write_round(cfg: ScanConfig, arrs: ScanArrays, cctx: _Ctx, bound,
                 oh = np.arange(64, dtype=np.int32)[:, None] == iz[None, :]
                 nat = jnp.sum(jnp.where(oh, natural[:, None], 0), axis=0)
                 tgt = du * C.DATA_UNIT_SIZE + nat
-                slot = k * cfg.tuning.unroll + u
+                slot = k * unroll + u
                 wpos_buf = wpos_buf.at[:, slot].set(
                     jnp.where(do_write, tgt, total))
                 wval_buf = wval_buf.at[:, slot].set(
@@ -790,7 +808,7 @@ def _make_write_round(cfg: ScanConfig, arrs: ScanArrays, cctx: _Ctx, bound,
         wpos_buf = jnp.full((width, chunk), total, jnp.int32)
         wval_buf = jnp.zeros((width, chunk), jnp.int16)
         p, c, z, pos, active, wpos_buf, wval_buf = jax.lax.fori_loop(
-            0, chunk // cfg.tuning.unroll, inner,
+            0, chunk // unroll, inner,
             (p, c, z, pos, active, wpos_buf, wval_buf))
         out = out.at[wpos_buf.reshape(-1)].set(
             wval_buf.reshape(-1), mode="drop", unique_indices=False)
@@ -946,7 +964,8 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
     """
     lanes = cfg.lanes
     chunk = cfg.tuning.write_chunk
-    unroll = cfg.tuning.unroll
+    unroll = _resolve_unroll(cfg)
+    assert chunk % unroll == 0, "write_chunk must be a multiple of unroll"
     s_cap = _emit_cap(chunk)
     total = cfg.total_positions if total_out is None else total_out
     seg = arrs.seg_of_subseq

@@ -106,7 +106,7 @@ def _sync_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
         active = st_ref[4] != 0
         # one rolling-buffer refill per iteration, funnel reads per symbol
         buf, base = H._refill_buf(ctx, p)
-        for _u in range(cfg.tuning.unroll):
+        for _u in range(H._resolve_unroll(cfg)):
             p, c, z, run, commit, active = H._symbol_step_buf(
                 cfg, arrs, ctx, buf, base, p, c, z, active)
             n = jnp.where(commit, n + run + 1, n)
@@ -181,7 +181,7 @@ def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
                        vsm0_ref[0])
     arrs = SimpleNamespace(maxcode=mc_ref[:], vsm=vsm_ref[:])
     bound = bound_ref[0]
-    unroll = cfg.tuning.unroll
+    unroll = H._resolve_unroll(cfg)
     active0 = ((a0_ref[0] != 0) & (p0_ref[0] < ctx.end_subseq)
                & (pos0_ref[0] < bound))
     st_ref[0] = p0_ref[0]
@@ -333,7 +333,7 @@ def _write_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
         pos = st_ref[3]
         active = st_ref[4] != 0
         resid = st_ref[5] != 0
-        for _u in range(min(cfg.tuning.unroll, _WRITE_UNROLL)):
+        for _u in range(min(H._resolve_unroll(cfg), _WRITE_UNROLL)):
             alive = active & (pos < bound)
             data = H._load32(ctx, p)
             length, sym, run = H._decode_symbol(cfg, arrs, ctx, data, c, z)

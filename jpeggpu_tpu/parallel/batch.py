@@ -178,7 +178,7 @@ def _geometry_key(sig: PlanSignature) -> PlanSignature:
         dataclasses.replace(
             sp, scan_bytes_padded=0,
             cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0,
-                                    tile_d=0))
+                                    tile_d=0, hv_rows=0))
         for sp in sig.scans)
     return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
@@ -244,7 +244,8 @@ class BatchDecoder:
                 (max(prelim[i].signature.scans[s].cfg.lanes for i in idxs),
                  max(prelim[i].signature.scans[s].scan_bytes_padded
                      for i in idxs),
-                 max(prelim[i].signature.scans[s].cfg.tile_d for i in idxs))
+                 max(prelim[i].signature.scans[s].cfg.tile_d for i in idxs),
+                 max(prelim[i].signature.scans[s].cfg.hv_rows for i in idxs))
                 for s in range(nscans))
             for i in idxs:
                 plan = (prelim[i] if len(idxs) == 1

@@ -103,11 +103,18 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                   max(scan.num_subsequences, 1))
         tile_d = next((d for d in (32, 64, 96, 128)
                        if d >= 5.0 * avg_du), 128)
+        # packed-huffval one-hot rows: longest used table, bucketed to a
+        # multiple of 8 words (canonical AC tables: 162 symbols -> 48)
+        hv_rows = max((t.num_symbols for t in scan.huff_tables),
+                      default=0)
+        hv_rows = min(max(-(-hv_rows // 32) * 8, 8), 64)
         if pad_scans is not None and si < len(pad_scans):
             lanes = max(lanes, pad_scans[si][0])
             bytes_floor = pad_scans[si][1]
             if len(pad_scans[si]) > 2:
                 tile_d = max(tile_d, pad_scans[si][2])
+            if len(pad_scans[si]) > 3:
+                hv_rows = max(hv_rows, pad_scans[si][3])
         comps = []
         for sc in scan.components:
             comp = stream.components[sc.component_idx]
@@ -136,6 +143,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             comp_groups=tuple(comp_groups),
             fast_tables=fast_tables,
             tile_d=tile_d,
+            hv_rows=hv_rows,
             tuning=tuning,
         )
         scans.append(ScanPlanStatic(
