@@ -79,6 +79,93 @@ def _huff_encode_table(num_codes: np.ndarray, values: np.ndarray):
     return enc
 
 
+class _NullWriter:
+    """Bit sink for the statistics pass."""
+
+    def put(self, value: int, length: int) -> None:
+        pass
+
+    def pad_to_byte(self) -> None:
+        pass
+
+
+class _SymbolCounter:
+    """Duck-types the (code, length) encoder maps of _encode_du but only
+    counts symbol frequencies — the statistics pass of optimized encoding."""
+
+    def __init__(self, freq: np.ndarray):
+        self.freq = freq
+
+    def __getitem__(self, symbol: int) -> tuple[int, int]:
+        self.freq[symbol] += 1
+        return 0, 0
+
+
+def optimal_huffman(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Frequency-optimal Huffman table per T.81 Annex K.2.
+
+    Returns (counts[16], values) in DHT order. Follows the spec's code-size
+    procedure: a reserved 257th symbol guarantees no real symbol is assigned
+    the all-ones code, and code sizes deeper than 16 are folded back with
+    the Figure K.3 adjustment. (The reference decodes such tables like any
+    other; libjpeg's optimize_coding produces them, so real-world streams
+    carry them — this generator exists to cover that in tests.)
+    """
+    f = np.zeros(257, np.int64)
+    f[:256] = np.asarray(freq, np.int64)
+    if not f.any():  # referenced but unused table: one dummy 1-bit code
+        return (np.array([1] + [0] * 15, np.uint8),
+                np.array([0], np.uint8))
+    f[256] = 1  # reserved code point (K.2: V = 256, freq 1)
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.nonzero(f)[0]
+        if nz.size < 2:
+            break
+        fv = f[nz]
+        v1 = int(nz[fv == fv.min()].max())  # least freq, ties: largest value
+        rest = nz[nz != v1]
+        fr = f[rest]
+        v2 = int(rest[fr == fr.min()].max())
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(60, np.int64)
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    i = 59  # fold lengths > 16 back (Figure K.3)
+    while i > 16:
+        if bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code
+    counts = bits[1:17].astype(np.uint8)
+    values = np.array([s for _, s in sorted(
+        (int(codesize[s]), s) for s in range(256) if codesize[s])], np.uint8)
+    assert int(counts.sum()) == values.size
+    return counts, values
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, offset-code) per T.81 F.1.2.1-F.1.2.2."""
     if v == 0:
@@ -98,6 +185,10 @@ class EncodeSpec:
     interleaved: bool = True
     # per component: (dc table id, ac table id); default 0 for comp0 else 1
     table_ids: Optional[Sequence[tuple[int, int]]] = None
+    # build frequency-optimal Huffman tables from the image's own symbol
+    # statistics (libjpeg optimize_coding analog, T.81 Annex K.2) instead
+    # of the Annex K typical tables
+    optimize_huffman: bool = False
     # per component quantization table id; default 0 for comp0 else 1
     qtable_ids: Optional[Sequence[int]] = None
     # override Huffman tables: {(class, id): (counts[16], values)} — class
@@ -148,7 +239,6 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         huff_specs.update(spec.huff_overrides)
     used_huff = sorted({(C.HUFF_DC, d) for d, _ in table_ids} |
                        {(C.HUFF_AC, a) for _, a in table_ids})
-    encoders = {key: _huff_encode_table(*huff_specs[key]) for key in used_huff}
 
     # --- quantized coefficients per component ---
     comp_blocks: List[np.ndarray] = []  # (n_du_y, n_du_x, 64) zig-zag ints
@@ -170,6 +260,53 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         # zig-zag reorder: zz[i] = raster value at ORDER_NATURAL[i]
         zz = quant.reshape(ph // 8, pw // 8, 64)[:, :, C.ORDER_NATURAL]
         comp_blocks.append(zz)
+
+    scan_groups = ([list(range(n))] if spec.interleaved or n == 1
+                   else [[ci] for ci in range(n)])
+
+    def scan_du_iter(comp_indices):
+        """(ci, data unit, restart-before-this-mcu) in scan emission order."""
+        interleaved = len(comp_indices) > 1
+        if interleaved:
+            mcus_x = -(-size_x // (8 * ss_max_x))
+            mcus_y = -(-size_y // (8 * ss_max_y))
+        else:
+            c0 = comp_indices[0]
+            mcus_y, mcus_x = comp_blocks[c0].shape[:2]
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart = bool(spec.restart_interval and mcu_count
+                               and mcu_count % spec.restart_interval == 0)
+                mcu_count += 1
+                for ci in comp_indices:
+                    ssx, ssy = sampling[ci] if interleaved else (1, 1)
+                    for by in range(ssy):
+                        for bx in range(ssx):
+                            yield (ci,
+                                   comp_blocks[ci][my * ssy + by,
+                                                   mx * ssx + bx], restart)
+                            restart = False
+
+    if spec.optimize_huffman:
+        # statistics pass: same walk, counting encoders, no output
+        freqs = {key: np.zeros(256, np.int64) for key in used_huff}
+        counters = {key: _SymbolCounter(freqs[key]) for key in used_huff}
+        null_writer = _NullWriter()
+        for comp_indices in scan_groups:
+            pred = {ci: 0 for ci in comp_indices}
+            for ci, du, restart in scan_du_iter(comp_indices):
+                if restart:
+                    pred = {c: 0 for c in comp_indices}
+                _encode_du(null_writer, du, pred, ci,
+                           counters[(C.HUFF_DC, table_ids[ci][0])],
+                           counters[(C.HUFF_AC, table_ids[ci][1])])
+        for key in used_huff:
+            if spec.huff_overrides and key in spec.huff_overrides:
+                continue  # explicit overrides win over optimization
+            huff_specs[key] = optimal_huffman(freqs[key])
+
+    encoders = {key: _huff_encode_table(*huff_specs[key]) for key in used_huff}
 
     # --- emit stream ---
     out = bytearray()
@@ -205,45 +342,25 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         sos += bytes([0, 63, 0])
         marker(C.MARKER_SOS, bytes(sos))
 
-        interleaved = len(comp_indices) > 1
-        if interleaved:
-            mcus_x = -(-size_x // (8 * ss_max_x))
-            mcus_y = -(-size_y // (8 * ss_max_y))
-        else:
-            ci = comp_indices[0]
-            mcus_y, mcus_x = comp_blocks[ci].shape[:2]
-
         writer = _BitWriter()
         pred = {ci: 0 for ci in comp_indices}
         rst_n = 0
-        mcu_count = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if (spec.restart_interval and mcu_count
-                        and mcu_count % spec.restart_interval == 0):
-                    writer.pad_to_byte()
-                    out.extend(writer.out)
-                    writer = _BitWriter()
-                    out.extend(bytes([0xFF, C.MARKER_RST0 + (rst_n & 7)]))
-                    rst_n += 1
-                    pred = {ci: 0 for ci in comp_indices}
-                mcu_count += 1
-                for ci in comp_indices:
-                    ssx, ssy = sampling[ci] if interleaved else (1, 1)
-                    dc_enc = encoders[(C.HUFF_DC, table_ids[ci][0])]
-                    ac_enc = encoders[(C.HUFF_AC, table_ids[ci][1])]
-                    for by in range(ssy):
-                        for bx in range(ssx):
-                            du = comp_blocks[ci][my * ssy + by, mx * ssx + bx]
-                            _encode_du(writer, du, pred, ci, dc_enc, ac_enc)
+        for ci, du, restart in scan_du_iter(comp_indices):
+            if restart:
+                writer.pad_to_byte()
+                out.extend(writer.out)
+                writer = _BitWriter()
+                out.extend(bytes([0xFF, C.MARKER_RST0 + (rst_n & 7)]))
+                rst_n += 1
+                pred = {c: 0 for c in comp_indices}
+            _encode_du(writer, du, pred, ci,
+                       encoders[(C.HUFF_DC, table_ids[ci][0])],
+                       encoders[(C.HUFF_AC, table_ids[ci][1])])
         writer.pad_to_byte()
         out.extend(writer.out)
 
-    if spec.interleaved or n == 1:
-        encode_scan(list(range(n)))
-    else:
-        for ci in range(n):
-            encode_scan([ci])
+    for comp_indices in scan_groups:
+        encode_scan(comp_indices)
     marker(C.MARKER_EOI)
     return bytes(out)
 

@@ -616,7 +616,8 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     if F == 0:  # auto: the F-phase round body is pure compile cost on CPU
         F = 1 if jax.default_backend() == "cpu" else 4
     F = min(F, K)
-    Kc = max(1, K // F)
+    Kc = cfg.tuning.head_width or max(1, K // F)
+    Kc = min(Kc, lanes)
 
     # Phase A: drain the frontier down to the chain budget. While it is
     # wider than K every lane re-decodes (full round); in (Kc, K] a single

@@ -40,6 +40,13 @@ SPECS = [
     ("q99", dict(quality=99)),
     ("four_tables", dict(sampling=[(2, 2), (1, 1), (1, 1)],
                          table_ids=[(0, 0), (1, 1), (2, 2)])),
+    # frequency-optimal tables (libjpeg optimize_coding analog): non-Annex-K
+    # code lengths, exercises arbitrary-table decode incl. hv_rows sizing
+    ("opt_huff", dict(sampling=[(2, 2), (1, 1), (1, 1)],
+                      optimize_huffman=True)),
+    ("opt_huff_rst", dict(sampling=[(2, 2), (1, 1), (1, 1)],
+                          optimize_huffman=True, restart_interval=3)),
+    ("opt_huff_q99", dict(quality=99, optimize_huffman=True)),
 ]
 
 

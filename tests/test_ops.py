@@ -119,6 +119,40 @@ def test_sync_states_match_sequential(test_image, spec):
     assert np.array_equal(got, expect)
 
 
+def test_sync_states_head_width(test_image):
+    """A widened chain-follow tier (Tuning.head_width > frontier_width //
+    chain_follow, entering follow rounds straight after round 1) converges
+    to exactly the sequential boundary states."""
+    import dataclasses as _dc
+
+    from jpeggpu_tpu.config import Tuning
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=5, quality=95))
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = _dc.replace(sp.cfg, tuning=Tuning(chain_follow=3, frontier_width=8,
+                                            head_width=8))
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        arrs = H.ScanArrays(
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx)
+
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    expect = golden.sequential_boundary_states(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
 def test_sync_states_chain_follow(test_image):
     """Chain-follow rounds (Gauss-Seidel within mis-synced chains,
     Tuning.chain_follow > 1) converge to exactly the sequential boundary
