@@ -1,20 +1,18 @@
-"""Round 4 of stage1 tile-kernel variants: cost decomposition.
+"""Round 5 of stage1 tile-kernel variants: is the batched dot on the MXU?
 
-tilebench2/3 ruled out acc dtype, tile depth, slice dynamism, and record
-layout. This harness deletes parts of the round body to locate the cost,
-and tests round/block geometry:
+tilebench4 isolated the batched (l=64)x[(128,96)x(128,64)] f32 dot at
+~14.5 of ~18 ms — an effective 0.55 TFLOP/s, ~1% of the MXU. Hypothesis:
+Mosaic lowers BATCHED dot_general on the VPU; only 2D dots hit the MXU.
 
     full        production round body (reference)
-    loads       record loads + 2D prep only
-    abuild      loads + prep + the (WL,R,D) a-build, consumed cheaply
-    bbuild      loads + prep + the (WL,R,64) b-build, consumed cheaply
-    nodotacc    everything except the dot+acc (both builds)
-    noacc       full, but acc overwritten instead of read-modify-write
-    r256/r512   production body at 256/512 slots per round
-    wl128       production body at 128-lane blocks
-    bf16dots    f32 builds cast to bf16, exact hi/lo dots, f32 acc
+    control2d   same builds, the batched dot replaced by ONE 2D dot of the
+                flattened operands (semantically garbage — cross-lane sums —
+                but identical flops/operand sizes): if this is fast, 2D
+                dots are MXU-fast and the batch dim is the problem
+    full_d128   tile_d=128 (is M=96 forcing a VPU fallback?)
+    padn128     b/N padded 64->128 (is N=64 forcing a VPU fallback?)
 
-Usage: python scripts/tilebench4.py [--iters N]
+Usage: python scripts/tilebench5.py [--iters N]
 """
 
 from __future__ import annotations
@@ -86,9 +84,10 @@ def main() -> int:
               f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
 
-    TD = 96
+    R = 128
+    WL = 64
 
-    def make_variant(mode, R=128, WL=64, tile_d=TD):
+    def make_variant(mode, tile_d=96):
         def kern(val_ref, wpos_ref, m_ref, du0_ref, tiles_out, acc_ref):
             mv = m_ref[:, 0]
             mmax = jnp.max(mv)
@@ -106,50 +105,27 @@ def main() -> int:
                 valid2 = (slot_row < mv[:, None]) & (w >= 0)
                 d_rel = jnp.where(valid2, (w >> 6) - du0v[:, None], -1)
                 iz = w & 63
-                if mode == "loads":
-                    acc_ref[0, 0, 0] += (jnp.sum(d_rel[:, 0])
-                                         + jnp.sum(iz[:, 0])
-                                         + jnp.sum(v[:, 0])).astype(
-                                             acc_ref.dtype)
-                    return r + 1
                 ad = d_rel[:, :, None] == iota_d
                 bz = iz[:, :, None] == iota_z
-                if mode == "abuild":
-                    a = jnp.where(ad, 1.0, 0.0)
-                    acc_ref[:, :, 0] += a[:, 0, :]
-                    return r + 1
-                if mode == "bbuild":
-                    b = jnp.where(bz, v[:, :, None].astype(jnp.float32), 0.0)
-                    acc_ref[:, 0, :] += b[:, 0, :]
-                    return r + 1
                 a = jnp.where(ad, 1.0, 0.0)
                 b = jnp.where(bz, v[:, :, None].astype(jnp.float32), 0.0)
-                if mode == "nodotacc":
-                    acc_ref[:, :, 0] += a[:, 0, :]
-                    acc_ref[:, 0, :] += b[:, 0, :]
-                    return r + 1
-                dn = (((1,), (1,)), ((0,), (0,)))
-                if mode == "bf16dots":
-                    vhi = v >> 8
-                    vlo = v & 0xFF
-                    bhi = jnp.where(
-                        bz, vhi[:, :, None].astype(jnp.float32),
-                        0.0).astype(jnp.bfloat16)
-                    blo = jnp.where(
-                        bz, vlo[:, :, None].astype(jnp.float32),
-                        0.0).astype(jnp.bfloat16)
-                    abf = a.astype(jnp.bfloat16)
-                    th = jax.lax.dot_general(
-                        abf, bhi, dn, preferred_element_type=jnp.float32)
-                    tl = jax.lax.dot_general(
-                        abf, blo, dn, preferred_element_type=jnp.float32)
-                    acc_ref[:] += th * 256.0 + tl
-                    return r + 1
-                t = jax.lax.dot_general(a, b, dn,
-                                        preferred_element_type=jnp.float32)
-                if mode == "noacc":
-                    acc_ref[:] = t
+                if mode == "control2d":
+                    a2 = a.reshape(WL * R, tile_d)
+                    b2 = b.reshape(WL * R, 64)
+                    t = jax.lax.dot_general(
+                        a2, b2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[0] += t
+                elif mode == "padn128":
+                    bp = jnp.concatenate([b, jnp.zeros_like(b)], axis=2)
+                    t = jax.lax.dot_general(
+                        a, bp, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[:] += t[:, :, :64]
                 else:
+                    t = jax.lax.dot_general(
+                        a, b, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
                     acc_ref[:] += t
                 return r + 1
 
@@ -162,15 +138,18 @@ def main() -> int:
                                     memory_space=pltpu.VMEM)
             rec_spec = pl.BlockSpec((WL, s_cap), lambda b: (b, 0),
                                     memory_space=pltpu.VMEM)
+            acc_shape = ((1, tile_d, 64) if mode == "control2d"
+                         else (WL, tile_d, 64))
             return pl.pallas_call(
                 kern,
                 grid=grid,
                 in_specs=[rec_spec, rec_spec, col_spec, col_spec],
-                out_specs=pl.BlockSpec((WL, tile_d, 64), lambda b: (b, 0, 0),
+                out_specs=pl.BlockSpec(acc_shape, lambda b: (b, 0, 0),
                                        memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((lanes, tile_d, 64),
-                                               jnp.int16),
-                scratch_shapes=[pltpu.VMEM((WL, tile_d, 64), jnp.float32)],
+                out_shape=jax.ShapeDtypeStruct(
+                    (lanes // WL if mode == "control2d" else lanes,
+                     tile_d, 64), jnp.int16),
+                scratch_shapes=[pltpu.VMEM(acc_shape, jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
             )(val2, wpos2, mv.reshape(-1, 1), du0v.reshape(-1, 1))
@@ -179,32 +158,10 @@ def main() -> int:
             return call(v.T, i["wpos"].T, i["m"], i["du0"])
         return f
 
-    ref_exe = compile_probe(lambda i: make_variant("full")(i, i["val"]))
-    ref = np.asarray(ref_exe(inp))
-    for mode, kw in (("bf16dots", {}), ("r256", dict(R=256)),
-                     ("r512", dict(R=512)), ("wl128", dict(WL=128))):
-        try:
-            real = "full" if mode.startswith(("r", "wl")) else mode
-            exe = compile_probe(
-                lambda i, real=real, kw=kw: make_variant(real, **kw)(
-                    i, i["val"]))
-            got = np.asarray(exe(inp))
-            ok = bool(np.array_equal(ref, got))
-        except Exception as e:
-            ok = f"FAIL: {str(e)[:160]}"
-        out[f"{mode}_exact"] = ok
-        print(f"{mode}_exact: {ok}", file=sys.stderr, flush=True)
-
     slope("full_ms", make_variant("full"))
-    slope("loads_ms", make_variant("loads"))
-    slope("abuild_ms", make_variant("abuild"))
-    slope("bbuild_ms", make_variant("bbuild"))
-    slope("nodotacc_ms", make_variant("nodotacc"))
-    slope("noacc_ms", make_variant("noacc"))
-    slope("r256_ms", make_variant("full", R=256))
-    slope("r512_ms", make_variant("full", R=512))
-    slope("wl128_ms", make_variant("full", WL=128))
-    slope("bf16dots_ms", make_variant("bf16dots"))
+    slope("control2d_ms", make_variant("control2d"))
+    slope("full_d128_ms", make_variant("full", tile_d=128))
+    slope("padn128_ms", make_variant("padn128"))
 
     print(json.dumps(out))
     return 0
