@@ -54,6 +54,15 @@ class Tuning:
         (ops/write_pallas.py) with zero scatters on the hot path; "fused"
         is the single fused Pallas write kernel (ops/huffman_pallas.py).
         "auto" selects tiles on TPU backends, scatter on CPU.
+      tile_dot: "auto" | "f32" | "bf16" | "int8" — operand dtype of the
+        tile-assembly one-hot MXU contractions (ops/write_pallas.py). The
+        f32 dot streams contraction rows at the MXU's multi-pass f32 rate;
+        the narrow modes build the one-hot operands natively in the narrow
+        dtype (no post-build relayout) and split the coefficient value
+        into lo/hi byte planes contracted separately, which is exact:
+        every output cell receives at most one term, byte planes span
+        [-128, 255] (exact in bf16's 8-bit significand; int8 wraps are
+        unwrapped after the dot). "auto" currently selects f32.
     """
 
     frontier_width: int = 2048
@@ -64,6 +73,7 @@ class Tuning:
     head_width: int = 0
     entropy_backend: str = "auto"
     write_mode: str = "auto"
+    tile_dot: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -75,6 +85,9 @@ class Tuning:
             raise ValueError(
                 f"write_mode must be auto|scatter|matmul|tiles|fused, "
                 f"got {self.write_mode!r}")
+        if self.tile_dot not in ("auto", "f32", "bf16", "int8"):
+            raise ValueError(
+                f"tile_dot must be auto|f32|bf16|int8, got {self.tile_dot!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

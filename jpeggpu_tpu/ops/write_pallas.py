@@ -63,8 +63,9 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _tiles_kernel(s_cap, tile_d, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
-                  tiles_out, acc_ref):
+def _tiles_kernel(s_cap, tile_d, dot_dtype, val_ref, wpos_ref, m_ref,
+                  du0_ref, inc_ref, iota_d_ref, iota_z_ref, tiles_out,
+                  acc_ref):
     # val_ref/wpos_ref are lane-major (wl, s_cap): the slot axis is the
     # Mosaic minor dimension (multiple of 128); per-lane scalars ride as
     # (wl, 1) columns
@@ -72,9 +73,12 @@ def _tiles_kernel(s_cap, tile_d, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
     m = jnp.where(inc, m_ref[:, 0], 0)
     mmax = jnp.max(m)
     du0 = du0_ref[:, 0]
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_d), 2)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    # the narrow iotas ride in as inputs: Mosaic rejects non-i32 iota, and
+    # casting an i32 iota in-kernel would relayout the whole 3D operand
+    iota_d = iota_d_ref[0][None, None, :]  # (1, 1, tile_d)
+    iota_z = iota_z_ref[0][None, None, :]  # (1, 1, 64)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _ROUND_R, 1), 1)
+    dn = (((1,), (1,)), ((0,), (0,)))
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -87,25 +91,66 @@ def _tiles_kernel(s_cap, tile_d, val_ref, wpos_ref, m_ref, du0_ref, inc_ref,
                  & inc[:, None, None])
         d_rel = (w >> 6) - du0[:, None]
         iz = w & 63
-        valid = valid & (d_rel[:, :, None] >= 0) \
-            & (d_rel[:, :, None] < tile_d)
-        # batched one-hot contraction on the MXU: (l, s, D) x (l, s, 64)
-        # -> (l, D, 64); at most one slot hits a given (l, d, z), so f32 is
-        # exact (|val| < 2^15 << 2^24)
-        a = jnp.where((d_rel[:, :, None] == iota_d) & valid, 1.0, 0.0)
-        b = jnp.where(iz[:, :, None] == iota_z,
-                      v[:, :, None].astype(jnp.float32), 0.0)
-        acc_ref[:] += jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        if dot_dtype == "f32":
+            valid = valid & (d_rel[:, :, None] >= 0) \
+                & (d_rel[:, :, None] < tile_d)
+            # batched one-hot contraction on the MXU: (l, s, D) x (l, s, 64)
+            # -> (l, D, 64); at most one slot hits a given (l, d, z), so f32
+            # is exact (|val| < 2^15 << 2^24)
+            a = jnp.where((d_rel[:, :, None] == iota_d) & valid, 1.0, 0.0)
+            b = jnp.where(iz[:, :, None] == iota_z,
+                          v[:, :, None].astype(jnp.float32), 0.0)
+            acc_ref[:] += jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32)
+            return r + 1
+        # narrow-native modes: fold validity into d_rel (-1 never matches
+        # the iota) so the 3D compare/select operands are built directly in
+        # the narrow dtype — only 2D (wl, R) casts happen. Valid d_rel is in
+        # [0, tile_d) with tile_d <= 128, exact in int8 (after int32->int8
+        # wrap 128..255 would alias, but those rows are already -1) and in
+        # bf16's 8-bit significand.
+        narrow = jnp.bfloat16 if dot_dtype == "bf16" else jnp.int8
+        d_eff = jnp.where(valid[:, :, 0] & (d_rel >= 0) & (d_rel < tile_d),
+                          d_rel, -1).astype(narrow)
+        zq = iz.astype(narrow)
+        one = jnp.ones((), narrow)
+        zero = jnp.zeros((), narrow)
+        a = jnp.where(d_eff[:, :, None] == iota_d, one, zero)
+        bz = zq[:, :, None] == iota_z
+        # split the value into byte planes: lo in [0, 255] (int8 arrives
+        # signed-wrapped and is unwrapped after the dot; bf16 holds it
+        # exactly), hi = arithmetic v >> 8 in [-128, 127]
+        vlo = (v & 0xFF).astype(narrow)
+        vhi = (v >> 8).astype(narrow)
+        blo = jnp.where(bz, vlo[:, :, None], zero)
+        bhi = jnp.where(bz, vhi[:, :, None], zero)
+        if dot_dtype == "bf16":
+            tl = jax.lax.dot_general(a, blo, dn,
+                                     preferred_element_type=jnp.float32)
+            th = jax.lax.dot_general(a, bhi, dn,
+                                     preferred_element_type=jnp.float32)
+            acc_ref[:] += (th * 256.0 + tl).astype(jnp.int16)
+        else:
+            tl = jax.lax.dot_general(a, blo, dn,
+                                     preferred_element_type=jnp.int32)
+            th = jax.lax.dot_general(a, bhi, dn,
+                                     preferred_element_type=jnp.int32)
+            acc_ref[:] += ((th << 8) + (tl & 0xFF)).astype(jnp.int16)
         return r + 1
 
     jax.lax.while_loop(lambda r: r * _ROUND_R < mmax, round_body,
                        jnp.int32(0))
-    tiles_out[:] = acc_ref[:].astype(jnp.int16)
+    out = acc_ref[:]
+    tiles_out[:] = out if out.dtype == jnp.int16 else out.astype(jnp.int16)
 
 
-def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D):
+def resolve_tile_dot(mode: str) -> str:
+    """Tuning.tile_dot -> concrete dot dtype ("auto" -> measured best)."""
+    return "f32" if mode == "auto" else mode
+
+
+def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
+                       tile_dot: str = "f32"):
     """Records -> per-lane (D, 64) zig-zag data-unit tiles.
 
     ``include`` masks leftover lanes to zero tiles. Returns
@@ -123,25 +168,38 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D):
     def col(x):
         return x.astype(jnp.int32).reshape(lanes, 1)
 
+    dot_dtype = resolve_tile_dot(tile_dot)
+    iota_dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+               "int8": jnp.int8}[dot_dtype]
+    iota_d_in = jnp.arange(tile_d, dtype=jnp.int32).astype(
+        iota_dt).reshape(1, tile_d)
+    iota_z_in = jnp.arange(64, dtype=jnp.int32).astype(
+        iota_dt).reshape(1, 64)
+    acc_dt = jnp.float32 if dot_dtype == "f32" else jnp.int16
+
     col_spec = pl.BlockSpec((wl, 1), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     rec_spec = pl.BlockSpec((wl, s_cap), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     tiles = pl.pallas_call(
-        functools.partial(_tiles_kernel, s_cap, tile_d),
+        functools.partial(_tiles_kernel, s_cap, tile_d, dot_dtype),
         grid=grid,
-        in_specs=[rec_spec, rec_spec, col_spec, col_spec, col_spec],
+        in_specs=[rec_spec, rec_spec, col_spec, col_spec, col_spec,
+                  pl.BlockSpec((1, tile_d), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 64), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((wl, tile_d, 64), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((lanes, tile_d, 64), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((wl, tile_d, 64), jnp.float32)],
-        # the per-block working set (records + one-hot operands + f32
+        scratch_shapes=[pltpu.VMEM((wl, tile_d, 64), acc_dt)],
+        # the per-block working set (records + one-hot operands + the
         # accumulator, double-buffered) exceeds Mosaic's default 16 MiB
         # scoped-vmem budget; v5e cores carry 128 MiB
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(val.T, wpos.T, col(m), col(du0), col(include))
+    )(val.T, wpos.T, col(m), col(du0), col(include), iota_d_in, iota_z_in)
     return tiles
 
 
@@ -285,7 +343,8 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total):
     return out_flat
 
 
-def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D):
+def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
+                   tile_dot: str = "f32"):
     """Full record assembly: tiles + expand + leftover + natural reorder.
 
     Returns int16[total] stream-order coefficients (natural order within
@@ -317,7 +376,8 @@ def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D):
     # upward, so every lane that passed the q1 check still fits
     q = _slab_index(du0, max_du, ~leftover, lanes, n_groups)
 
-    tiles = tiles_from_records(val, wpos, m, du0, ~leftover, tile_d)
+    tiles = tiles_from_records(val, wpos, m, du0, ~leftover, tile_d,
+                               tile_dot)
     out2d = expand_tiles(tiles, du0, q, n_groups)  # natural order already
 
     out_flat = out2d.reshape(-1)
@@ -339,4 +399,5 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
                     else pos_base)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
-    return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d)
+    return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
+                          cfg.tuning.tile_dot)

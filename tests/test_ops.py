@@ -303,6 +303,59 @@ def test_pallas_entropy_backend_bitexact(test_image, spec):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+@pytest.mark.parametrize("tile_dot", ["bf16", "int8"])
+def test_write_tiles_narrow_dot_bitexact(test_image, tile_dot):
+    """The narrow-dtype tile-assembly contractions (lo/hi byte-plane dots,
+    write_pallas._tiles_kernel) place coefficients bit-identically to the
+    f32 formulation for positive and negative values across the int16
+    range exercised by a real image."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2, quality=97))
+    plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles",
+                                                 tile_dot=tile_dot))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
+def test_tiles_narrow_dot_value_range():
+    """Byte-plane splitting is exact at the extremes: synthetic records
+    covering -32768..32767 boundaries round-trip through every tile_dot
+    mode identically."""
+    import jax.numpy as jnp
+
+    from jpeggpu_tpu.ops import write_pallas
+
+    lanes, s_cap, tile_d = 128, 128, 32
+    rng = np.random.default_rng(7)
+    vals = np.zeros((s_cap, lanes), np.int16)
+    wpos = np.full((s_cap, lanes), -1, np.int32)
+    m = np.zeros(lanes, np.int32)
+    du0 = np.arange(lanes, dtype=np.int32) * 2  # nondecreasing
+    extremes = np.array([-32768, -32767, -256, -255, -129, -128, -127, -1,
+                         0, 1, 127, 128, 255, 256, 32766, 32767], np.int64)
+    for lane in range(lanes):
+        k = int(rng.integers(1, 40))
+        m[lane] = k
+        pos = np.sort(rng.choice(tile_d * 64, size=k, replace=False))
+        vals[:k, lane] = rng.permuted(
+            np.resize(extremes, k)).astype(np.int16)
+        wpos[:k, lane] = du0[lane] * 64 + pos
+    include = np.ones(lanes, bool)
+    outs = {}
+    for mode in ("f32", "bf16", "int8"):
+        outs[mode] = np.asarray(write_pallas.tiles_from_records(
+            jnp.asarray(vals), jnp.asarray(wpos), jnp.asarray(m),
+            jnp.asarray(du0), jnp.asarray(include), tile_d, mode))
+    assert np.array_equal(outs["f32"], outs["bf16"])
+    assert np.array_equal(outs["f32"], outs["int8"])
+    # sanity: the synthetic records actually landed
+    assert outs["f32"].any()
+
+
 @pytest.mark.parametrize("spec", [
     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], quality=95),
