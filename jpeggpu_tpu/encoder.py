@@ -392,6 +392,34 @@ def _encode_du(writer, du, pred, ci, dc_enc, ac_enc):
         writer.put(c, l)
 
 
+def _area_resample(p: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    """Exact area-average resample of ``p`` onto a (ch, cw) grid.
+
+    Destination cell (i, j) averages the source rectangle
+    [i*h/ch, (i+1)*h/ch) x [j*w/cw, (j+1)*w/cw) — fractional bounds are
+    handled exactly via a bilinearly-sampled integral image (bilinear
+    interpolation of the integral of a piecewise-constant image is exact),
+    so non-divisor sampling ratios like 3:2 get a true box filter.
+    """
+    h, w = p.shape
+    if (ch, cw) == (h, w):
+        return p
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = p.cumsum(axis=0).cumsum(axis=1)
+
+    def sample_rows(a, coords, n):
+        idx = np.minimum(np.floor(coords).astype(np.int64), n - 1)
+        frac = coords - idx
+        return a[idx] * (1 - frac)[:, None] + a[idx + 1] * frac[:, None]
+
+    ys = np.linspace(0.0, float(h), ch + 1)
+    xs = np.linspace(0.0, float(w), cw + 1)
+    rows = sample_rows(integral, ys, h)  # (ch+1, w+1)
+    grid = sample_rows(rows.T, xs, w).T  # (ch+1, cw+1)
+    sums = grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
+    return sums / np.outer(np.diff(ys), np.diff(xs))
+
+
 def _to_planes(arr: np.ndarray, spec: EncodeSpec):
     arr = np.asarray(arr, np.uint8)
     if arr.ndim == 2:
@@ -413,13 +441,15 @@ def _to_planes(arr: np.ndarray, spec: EncodeSpec):
         ssx, ssy = sampling[ci]
         cw = -(-w * ssx // ss_max_x)
         ch = -(-h * ssy // ss_max_y)
-        # box-filter downsample onto the (ch, cw) grid
-        assert ss_max_y % ssy == 0 and ss_max_x % ssx == 0, (
-            "RGB path supports divisor sampling only; pass planes directly")
-        fy = ss_max_y // ssy
-        fx = ss_max_x // ssx
-        ph, pw = ch * fy, cw * fx
-        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        ds = pp.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        if ss_max_y % ssy == 0 and ss_max_x % ssx == 0:
+            # integer ratio: box-filter downsample onto the (ch, cw) grid
+            fy = ss_max_y // ssy
+            fx = ss_max_x // ssx
+            ph, pw = ch * fy, cw * fx
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            ds = pp.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        else:
+            # non-divisor ratio (e.g. 3:2): fractional-area box filter
+            ds = _area_resample(p, ch, cw)
         planes.append(np.clip(np.round(ds), 0, 255).astype(np.uint8))
     return planes, w, h, sampling

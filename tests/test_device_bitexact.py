@@ -30,6 +30,12 @@ SPECS = [
     ("440", dict(sampling=[(1, 2), (1, 1), (1, 1)])),
     ("411", dict(sampling=[(4, 1), (1, 1), (1, 1)])),
     ("mixed_ss", dict(sampling=[(2, 2), (2, 1), (1, 1)])),
+    # non-divisor luma:chroma ratio (3:2): T.81 allows any factors 1..4;
+    # exercises the encoder's fractional-area resample and edge-MCU
+    # geometry where MCU width (24 px) straddles the image bound oddly
+    ("nondivisor_ss", dict(sampling=[(3, 1), (2, 1), (1, 1)],
+                           restart_interval=3)),
+    ("ss_41_14", dict(sampling=[(4, 1), (1, 4), (1, 1)])),
     ("420_rst2", dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2)),
     ("420_rst7", dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=7)),
     ("444_rst1", dict(sampling=[(1, 1), (1, 1), (1, 1)], restart_interval=1)),
