@@ -36,13 +36,18 @@ class Tuning:
         round. 1 restores plain per-subsequence rounds; 0 selects 4 on
         TPU backends and 1 elsewhere (the converged states are identical
         — this is purely a round-count/compile-time trade).
-      head_width: chain-head capacity of the compacted chain-follow tier.
-        Synchronization enters the chain-follow tier once the mis-synced
-        frontier fits this many chains; until then each round re-decodes
-        only chain heads at frontier_width. Larger values enter the
-        follow tier earlier (fewer head-only rounds, wider follow rounds).
+      head_width: chain-head capacity of the narrow chain-follow tier.
+        Synchronization enters this tier once fewer than this many chains
+        survive; until then the wide tier advances up to frontier_width
+        chains per round (at depth wide_follow). Larger values enter the
+        narrow tier earlier (fewer wide rounds, wider follow rounds).
         0 selects frontier_width // chain_follow (one context-gather's
         worth of work per follow round).
+      wide_follow: chain-follow depth of the wide tier (the rounds between
+        the last full-width round and the narrow head tier). 1 advances
+        each chain one subsequence per wide round; larger values multiply
+        per-round pass work by the same factor but divide the wide round
+        count. 0 selects 1.
       entropy_backend: "auto" | "xla" | "pallas" — implementation of the
         per-symbol decode loops. "auto" selects the fused Pallas kernels on
         TPU backends and the XLA formulation elsewhere.
@@ -71,6 +76,7 @@ class Tuning:
     unroll: int = 0
     chain_follow: int = 0
     head_width: int = 0
+    wide_follow: int = 0
     entropy_backend: str = "auto"
     write_mode: str = "auto"
     tile_dot: str = "auto"
@@ -95,6 +101,8 @@ class Tuning:
             raise ValueError("chain_follow must be >= 0 (0 = auto)")
         if self.head_width < 0:
             raise ValueError("head_width must be >= 0 (0 = auto)")
+        if self.wide_follow < 0:
+            raise ValueError("wide_follow must be >= 0 (0 = auto)")
         # power-of-two <= 128: keeps every 128-slot assembly-round boundary
         # aligned to a bit-buffer refill, so those slots are never stall
         # holes (ops/huffman.py assemble_coefficients reads slot 0's du);

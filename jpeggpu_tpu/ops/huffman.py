@@ -616,79 +616,42 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     if F == 0:  # auto: the F-phase round body is pure compile cost on CPU
         F = 1 if jax.default_backend() == "cpu" else 4
     F = min(F, K)
+    Fw = min(cfg.tuning.wide_follow or 1, K)
     Kc = cfg.tuning.head_width or max(1, K // F)
-    Kc = min(Kc, lanes)
+    Kc = min(Kc, lanes, K)
 
-    # Phase A: drain the frontier down to the chain budget. While it is
-    # wider than K every lane re-decodes (full round); in (Kc, K] a single
-    # compacted pass at width K handles it — a full round costs a whole
-    # blind-pass re-decode just to fix a few hundred lanes. The frontier
-    # count can only shrink (chains never split), so phase B's head list,
-    # once taken, covers every chain to the end.
-    def wide_round(p, c, z, n, frontier):
-        idx_raw = jnp.nonzero(frontier, size=K,
-                              fill_value=-1)[0].astype(jnp.int32)
-        valid = idx_raw >= 0
-        idx = jnp.clip(idx_raw, 0, lanes - 1)
-        cctx = gather_ctx(ctx, idx, valid)
-        prev = jnp.clip(idx - 1, 0, lanes - 1)
-        p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx,
-                                             p[prev], c[prev], z[prev],
-                                             valid)
-        d_comp = valid & ((p2 != p[idx]) | (c2 != c[idx]) | (z2 != z[idx]))
-        sent = lanes + jnp.arange(K, dtype=jnp.int32)
-        uidx = jnp.where(valid, idx, sent)
-        upd = lambda full, comp: full.at[uidx].set(comp, mode="drop",
-                                                   unique_indices=True)
-        p = upd(p, p2)
-        c = upd(c, c2)
-        z = upd(z, z2)
-        n = upd(n, n2)
-        delta = jnp.zeros(lanes, jnp.bool_).at[
-            jnp.where(d_comp, idx, sent)].set(True, mode="drop",
-                                              unique_indices=True)
-        return p, c, z, n, delta
-
+    # Phase A: full-width rounds while the mis-synced frontier exceeds the
+    # compaction budget K (compaction at that scale costs more in
+    # nonzero/gather than the pass it saves).
     def full_body(state):
         p, c, z, n, delta, it = state
-        frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
-        cnt = jnp.sum(frontier.astype(jnp.int32))
-        p, c, z, n, delta = jax.lax.cond(
-            cnt > K,
-            lambda a: full_round(a[0], a[1], a[2], a[3]),
-            lambda a: wide_round(*a),
-            (p, c, z, n, frontier))
+        p, c, z, n, delta = full_round(p, c, z, n)
         return p, c, z, n, delta, it + 1
 
     def full_cond(state):
         p, c, z, n, delta, it = state
         frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
-        cnt = jnp.sum(frontier.astype(jnp.int32))
-        return (cnt > Kc) & (it < lanes)
+        return (jnp.sum(frontier.astype(jnp.int32)) > K) & (it < lanes)
 
     p, c, z, n, delta, it0 = jax.lax.while_loop(
         full_cond, full_body, (p, c, z, n, delta, jnp.int32(0)))
 
-    # Phase B: compacted chain-follow rounds with LOCAL head tracking.
-    # The ONE global compaction below yields the chain heads; afterwards
-    # each round advances its own heads in (Kc,)-sized arithmetic — no
-    # full-width nonzero/roll/delta scatters per round. Heads stay sorted
-    # and distinct: a chain is bounded by the next live head, so its next
-    # head never passes a neighbor.
-    frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
-    heads0 = jnp.nonzero(frontier, size=Kc,
-                         fill_value=lanes)[0].astype(jnp.int32)
-    offs = jnp.arange(F, dtype=jnp.int32)
-    sentinel = lanes + jnp.arange(Kc * F, dtype=jnp.int32).reshape(Kc, F)
-
-    def compact_round(p, c, z, n, head):
+    def compact_round(p, c, z, n, head, width, follow):
+        """One chain-follow round over up to `width` local chain heads,
+        each advanced up to `follow` columns (Gauss-Seidel within the
+        chain). Heads stay sorted and distinct: a chain is bounded by the
+        next live head, so its next head never passes a neighbor; dead
+        heads hold the `lanes` sentinel."""
+        offs = jnp.arange(follow, dtype=jnp.int32)
+        sentinel = lanes + jnp.arange(width * follow,
+                                      dtype=jnp.int32).reshape(width, follow)
         alive = head < lanes
         headc = jnp.clip(head, 0, lanes - 1)
         # bound[j] = the closest live head above (dead heads sit at the
         # `lanes` sentinel and never bound anyone)
         nxt = jnp.concatenate([head[1:], jnp.full((1,), lanes, jnp.int32)])
         bound = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
-        idx2 = headc[:, None] + offs[None, :]  # (Kc, F) follow columns
+        idx2 = headc[:, None] + offs[None, :]  # (width, follow) columns
         idx2c = jnp.clip(idx2, 0, lanes - 1)
         okcol = (alive[:, None] & (idx2 < bound[:, None])
                  & (idx2 < lanes) & ctx.lane_valid[idx2c]
@@ -702,10 +665,10 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         sp, sc, sz = p[prevh], c[prevh], z[prevh]
         changed = alive  # heads always re-decode (their pred changed)
         act_l, new_l, mark_l = [], [], []
-        for f in range(F):
+        for f in range(follow):
             idxf = idx2c[:, f]
             activef = ok[:, f] & changed
-            cctx = _slice_ctx(gctx, f * Kc, (f + 1) * Kc, activef)
+            cctx = _slice_ctx(gctx, f * width, (f + 1) * width, activef)
             p2, c2, z2, n2 = _decode_subseq_pass(cfg, arrs, cctx,
                                                  sp, sc, sz, activef)
             ch = activef & ((p2 != p[idxf]) | (c2 != c[idxf])
@@ -716,11 +679,11 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             # column whose successor was NOT decoded as the next phase
             # (ran out of depth, or collided with the next chain's
             # stale-started head)
-            nxt_dec = ok[:, f + 1] if f + 1 < F else jnp.zeros_like(ch)
+            nxt_dec = ok[:, f + 1] if f + 1 < follow else jnp.zeros_like(ch)
             mark_l.append(ch & ~nxt_dec)
             sp, sc, sz = p2, c2, z2
             changed = ch
-        act = jnp.stack(act_l, axis=1)      # (Kc, F)
+        act = jnp.stack(act_l, axis=1)      # (width, follow)
         mark = jnp.stack(mark_l, axis=1)
         # one scatter per state array; decoded columns are disjoint, and
         # dropped columns get distinct out-of-bounds sentinels so the
@@ -743,19 +706,44 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         head = jnp.where(keep, cand, lanes)
         return p, c, z, n, head
 
+    # Tier 1 (wide): ONE global compaction yields up to K chain heads;
+    # each round advances its own heads locally — no full-width
+    # nonzero/roll/delta scatters per round.
+    frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+    head = jnp.nonzero(frontier, size=K,
+                       fill_value=lanes)[0].astype(jnp.int32)
+
+    if Kc < K:
+        def wide_body(state):
+            p, c, z, n, head, it = state
+            p, c, z, n, head = compact_round(p, c, z, n, head, K, Fw)
+            return p, c, z, n, head, it + 1
+
+        def wide_cond(state):
+            head, it = state[4], state[5]
+            live = jnp.sum((head < lanes).astype(jnp.int32))
+            return (live > Kc) & (it < lanes)
+
+        p, c, z, n, head, it0 = jax.lax.while_loop(
+            wide_cond, wide_body, (p, c, z, n, head, it0))
+        # hand the surviving heads (<= Kc live by the loop condition) to
+        # the narrow tier; dead `lanes` sentinels sort to the tail
+        head = jnp.sort(head)[:Kc]
+
+    # Tier 2 (narrow): chain-follow rounds at head capacity Kc, depth F.
     def body(state):
         p, c, z, n, head, it = state
-        p, c, z, n, head = compact_round(p, c, z, n, head)
+        p, c, z, n, head = compact_round(p, c, z, n, head, Kc, F)
         return p, c, z, n, head, it + 1
 
     def cond2(state):
         p, c, z, n, head, it = state
         return jnp.any(head < lanes) & (it < lanes)
 
-    state = (p, c, z, n, heads0, it0)
+    state = (p, c, z, n, head, it0)
     p, c, z, n, _, it = jax.lax.while_loop(cond2, body, state)
     if diag:
-        # (full-width rounds after round 1, total rounds) — profiling aid
+        # (full + wide-tier rounds after round 1, total rounds)
         return p, c, z, n, it0, it
     return p, c, z, n
 

@@ -188,6 +188,43 @@ def test_sync_states_chain_follow(test_image):
     assert np.array_equal(got, expect)
 
 
+@pytest.mark.parametrize("wide_follow,head_width", [(2, 4), (3, 2), (1, 3)])
+def test_sync_states_wide_follow(test_image, wide_follow, head_width):
+    """Wide-tier chain-follow rounds (local heads at frontier_width, depth
+    Tuning.wide_follow, then head compaction into the narrow tier) converge
+    to exactly the sequential boundary states. Tiny widths force real head
+    handoffs between the tiers."""
+    import dataclasses as _dc
+
+    from jpeggpu_tpu.config import Tuning
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=4, quality=95))
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = _dc.replace(sp.cfg, tuning=Tuning(
+        chain_follow=2, frontier_width=8, head_width=head_width,
+        wide_follow=wide_follow))
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        arrs = H.ScanArrays(
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx)
+
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    expect = golden.sequential_boundary_states(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
 @pytest.mark.parametrize("spec", [
     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)]),
