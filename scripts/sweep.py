@@ -1,0 +1,208 @@
+"""Tuning-knob sweep on the real device (slope method).
+
+Measures, for each candidate Tuning, the slope cost of a stage on the
+bench image: sync_states only (--what sync), the full entropy scan
+(--what scan), or the tile-assembly stage1 (--what tiles, sweeping
+tile_dot). Each config costs two compiles (K=1 and K=3 repetition
+executables); costs are deltas so the tunnel RTT cancels.
+
+Usage: python scripts/sweep.py [--what sync|scan|tiles] [--iters N] [image]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_IMAGE = "/root/reference/images/IMG_6510.JPG"
+
+
+def timeit(fn, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import huffman as H
+    from jpeggpu_tpu.pipeline import build_inputs, build_plan
+    from jpeggpu_tpu.reader import parse
+
+    iters = 10
+    what = "sync"
+    argv = sys.argv[1:]
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        iters = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--what" in argv:
+        i = argv.index("--what")
+        what = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    image = args[0] if args else DEFAULT_IMAGE
+
+    data = open(image, "rb").read()
+    stream = parse(data)
+    plan = build_plan(stream)
+    inputs = build_inputs(data, plan)
+    cfg0 = plan.signature.scans[0].cfg
+    inp = jax.device_put(inputs["scans"][0])
+    out = {"image": image, "what": what, "iters": iters,
+           "backend": jax.default_backend(), "lanes": cfg0.lanes}
+
+    def mk_arrs(i, words=None):
+        return H.ScanArrays(
+            words=i["words"] if words is None else words,
+            seg_of_subseq=i["seg_of_subseq"],
+            seg_first_lane=i["seg_first_lane"],
+            seg_num_subseq=i["seg_num_subseq"], maxcode=i["maxcode"],
+            vsm=i["vsm"], huffval=i["huffval"])
+
+    def slope(name, stage_fn, K=3):
+        def rep_f(KK):
+            def f(i):
+                words = i["words"]
+                acc = jnp.zeros((), words.dtype)
+                tot = jnp.int32(0)
+                for _ in range(KK):
+                    w2 = jnp.where(
+                        acc == jnp.asarray(0xDEADBEEF, words.dtype),
+                        words + 1, words)
+                    o = stage_fn(i, w2)
+                    s = o.reshape(-1)[0].astype(jnp.int32)
+                    acc = s.astype(words.dtype)
+                    tot = tot + s
+                return tot.reshape(1)
+            return f
+
+        t0 = time.time()
+        ts = {}
+        try:
+            for KK in (1, K):
+                exe = jax.jit(rep_f(KK)).lower(inp).compile()
+                ts[KK] = timeit(
+                    lambda: np.asarray(exe(inp))[:1], iters) * 1e3
+        except Exception as e:
+            out[name] = f"FAIL: {str(e)[:160]}"
+            print(f"{name}: FAILED {str(e)[:200]}", file=sys.stderr,
+                  flush=True)
+            return
+        out[name] = round((ts[K] - ts[1]) / (K - 1), 2)
+        print(f"{name}: {out[name]:.2f} ms  (t1 {ts[1]:.1f}, t{K} "
+              f"{ts[K]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    def with_tuning(**kw):
+        return dataclasses.replace(cfg0, tuning=Tuning(**kw))
+
+    if what == "sync":
+        sync_cfgs = [
+            ("base", {}),
+            ("wf2", dict(wide_follow=2)),
+            ("wf4", dict(wide_follow=4)),
+            ("wf2_fw4096", dict(wide_follow=2, frontier_width=4096)),
+            ("wf2_fw8192", dict(wide_follow=2, frontier_width=8192)),
+            ("wf2_hw1024", dict(wide_follow=2, head_width=1024)),
+            ("cf8", dict(chain_follow=8)),
+            ("cf8_wf2", dict(chain_follow=8, wide_follow=2)),
+            ("cf2_hw1024", dict(chain_follow=2, head_width=1024)),
+        ]
+        for name, kw in sync_cfgs:
+            cfg = with_tuning(**kw)
+
+            def s_sync(i, w, cfg=cfg):
+                arrs = mk_arrs(i, w)
+                ctx = H.make_ctx(cfg, arrs)
+                p, c, z, n = H.sync_states(cfg, arrs, ctx)
+                return p + n
+
+            slope(f"sync_{name}_ms", s_sync)
+    elif what == "tiles":
+        from jpeggpu_tpu.ops import write_pallas as WP
+
+        # records are computed once per executable; the rep loop repeats
+        # only tiles_from_records, serialized by a vector dependence on val
+        def tiles_rep(dot, KK):
+            def f(i):
+                arrs = mk_arrs(i)
+                ctx = H.make_ctx(cfg0, arrs)
+                p, c, z, n = H.sync_states(cfg0, arrs, ctx)
+                n_off = H.symbol_offsets(cfg0, arrs, n)
+                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                                   n_off)
+                seg = arrs.seg_of_subseq
+                pos0 = seg * cfg0.positions_per_seg + n_off
+                du0 = jax.lax.cummax(pos0 >> 6)
+                inc = jnp.ones(cfg0.lanes, jnp.bool_)
+                acc = jnp.zeros((), jnp.int16)
+                tot = jnp.int32(0)
+                for _ in range(KK):
+                    v2 = jnp.where(acc == jnp.int16(-32768), val + 1, val)
+                    tiles = WP.tiles_from_records(v2, wpos, m, du0, inc,
+                                                  cfg0.tile_d, dot)
+                    s = tiles[0, 0, 0].astype(jnp.int32) \
+                        + tiles[-1, -1, -1].astype(jnp.int32)
+                    acc = s.astype(jnp.int16)
+                    tot = tot + s
+                return tot.reshape(1)
+            return f
+
+        for dot in ("f32", "bf16", "int8"):
+            t0 = time.time()
+            ts = {}
+            name = f"tiles_{dot}_ms"
+            try:
+                for KK in (1, 3):
+                    exe = jax.jit(tiles_rep(dot, KK)).lower(inp).compile()
+                    ts[KK] = timeit(
+                        lambda: np.asarray(exe(inp))[:1], iters) * 1e3
+            except Exception as e:
+                out[name] = f"FAIL: {str(e)[:160]}"
+                print(f"{name}: FAILED {str(e)[:200]}", file=sys.stderr,
+                      flush=True)
+                continue
+            out[name] = round((ts[3] - ts[1]) / 2, 2)
+            print(f"{name}: {out[name]:.2f} ms  (t1 {ts[1]:.1f}, t3 "
+                  f"{ts[3]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    elif what == "scan":
+        scan_cfgs = [
+            ("base", {}),
+            ("bf16", dict(tile_dot="bf16")),
+            ("int8", dict(tile_dot="int8")),
+            ("best_sync", dict(wide_follow=2)),  # edit after sync sweep
+        ]
+        for name, kw in scan_cfgs:
+            cfg = with_tuning(**kw)
+
+            def s_scan(i, w, cfg=cfg):
+                return H.decode_scan(cfg, mk_arrs(i, w)).astype(jnp.int32)
+
+            slope(f"scan_{name}_ms", s_scan)
+    else:
+        print(f"unknown --what {what}", file=sys.stderr)
+        return 2
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
