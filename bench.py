@@ -84,9 +84,9 @@ def _prepare(data):
     return mp, exe, dev_scans, dev_qt, run_once
 
 
-def _bench_one(data, iters=ITERS):
+def _bench_one(data, iters=ITERS, warmup=2):
     mp, _, _, _, run_once = _prepare(data)
-    s = _time_loop(run_once, iters)
+    s = _time_loop(run_once, iters, warmup=warmup)
     s["mps"] = mp / (s["med_ms"] / 1e3)
     s["img_s"] = 1e3 / s["med_ms"]
     s["mp"] = mp
@@ -223,6 +223,20 @@ def main():
     iters = ITERS
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
+
+    if "--profile" in sys.argv:
+        # capture a jax.profiler device trace of one warmed decode; stages
+        # appear as jpeggpu.* named scopes (SURVEY §5 tracing hook)
+        from jpeggpu_tpu.debug import profile_trace
+
+        log_dir = sys.argv[sys.argv.index("--profile") + 1]
+        data = open(IMAGE, "rb").read()
+        _bench_one(data, iters=2)  # compile + warm outside the trace
+        with profile_trace(log_dir):
+            _bench_one(data, iters=1, warmup=0)
+        print(f"profiler trace written to {log_dir}", file=sys.stderr,
+              flush=True)
+        return 0
 
     if "--all" in sys.argv:
         bench_all(iters)

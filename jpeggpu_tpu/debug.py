@@ -14,6 +14,8 @@ All checks raise :class:`jpeggpu_tpu.errors.InternalError` on mismatch.
 
 from __future__ import annotations
 
+import contextlib
+
 _enabled = False
 
 
@@ -27,3 +29,18 @@ def is_debug() -> bool:
 
 
 DEBUG_GOLDEN_MAX_PIXELS = 2_000_000
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a ``jax.profiler`` device trace of the enclosed decodes.
+
+    Decode stages appear under ``jpeggpu.*`` named scopes (sync, write.*,
+    dc, deinterleave, idct*). View with TensorBoard or Perfetto
+    (``xprof``/trace-viewer on the written directory). The SURVEY §5
+    tracing hook; ``bench.py --profile DIR`` wraps its timed loop in this.
+    """
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield

@@ -1113,27 +1113,33 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
     within each data unit, DC still difference-coded). The keyword overrides
     support shard-local decode (see parallel/segments.py).
     """
-    ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
-    p, c, z, n = sync_states(cfg, arrs, ctx)
-    n_off = symbol_offsets(cfg, arrs, n)
+    # named scopes tag the stages in HLO metadata so jax.profiler traces
+    # (debug.profile_trace / bench.py --profile) attribute device time to
+    # decode stages by name
+    with jax.named_scope("jpeggpu.sync"):
+        ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
+        p, c, z, n = sync_states(cfg, arrs, ctx)
+        n_off = symbol_offsets(cfg, arrs, n)
     mode = _resolve_write_mode(cfg)
-    if mode == "tiles":
-        from . import write_pallas
+    with jax.named_scope(f"jpeggpu.write.{mode}"):
+        if mode == "tiles":
+            from . import write_pallas
 
-        return write_pallas.decode_write_tiles(
-            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
-            total_out=total_out)
-    if mode == "fused":
-        from . import huffman_pallas
+            return write_pallas.decode_write_tiles(
+                cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
+                bound=bound, total_out=total_out)
+        if mode == "fused":
+            from . import huffman_pallas
 
-        return huffman_pallas.decode_write_fused(
-            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
-            total_out=total_out)
-    if mode == "matmul":
-        total = cfg.total_positions if total_out is None else total_out
-        val, wpos, m = decode_write_emit(
-            cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
-            total_out=total_out)
-        return assemble_coefficients(val, wpos, m, total)
-    return decode_write(cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
-                        bound=bound, total_out=total_out)
+            return huffman_pallas.decode_write_fused(
+                cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
+                bound=bound, total_out=total_out)
+        if mode == "matmul":
+            total = cfg.total_positions if total_out is None else total_out
+            val, wpos, m = decode_write_emit(
+                cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
+                bound=bound, total_out=total_out)
+            return assemble_coefficients(val, wpos, m, total)
+        return decode_write(cfg, arrs, ctx, p, c, z, n_off,
+                            pos_base=pos_base, bound=bound,
+                            total_out=total_out)

@@ -286,18 +286,21 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
         )
         coeffs = decode_scan(cfg, arrs)
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
-        coeffs = undelta_dc(cfg, comp_slots, coeffs)
+        with jax.named_scope("jpeggpu.dc"):
+            coeffs = undelta_dc(cfg, comp_slots, coeffs)
         if fused_tail:
             from .ops.idct_pallas import idct_stream_to_plane
 
-            for c in sp.comps:
-                pix[c[0]] = idct_stream_to_plane(
-                    coeffs, qtables[c[6]], sp.num_mcus_x, sp.num_mcus_y,
-                    cfg.du_per_mcu, c[1], c[2], c[3])
+            with jax.named_scope("jpeggpu.idct_fused"):
+                for c in sp.comps:
+                    pix[c[0]] = idct_stream_to_plane(
+                        coeffs, qtables[c[6]], sp.num_mcus_x, sp.num_mcus_y,
+                        cfg.du_per_mcu, c[1], c[2], c[3])
             continue
         t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
-        scan_planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y,
-                                   t_comps)
+        with jax.named_scope("jpeggpu.deinterleave"):
+            scan_planes = deinterleave(cfg, coeffs, sp.num_mcus_x,
+                                       sp.num_mcus_y, t_comps)
         for c, plane in zip(sp.comps, scan_planes):
             planes[c[0]] = plane
             qidx[c[0]] = c[6]

@@ -37,6 +37,7 @@ def worker() -> int:
     port = os.environ["WS_PORT"]
     imgs = int(os.environ["WS_IMGS"])
     iters = int(os.environ["WS_ITERS"])
+    size = int(os.environ["WS_SIZE"])
 
     from jpeggpu_tpu.parallel import multihost
 
@@ -52,7 +53,9 @@ def worker() -> int:
 
     rng = np.random.default_rng(17)  # same geometry everywhere, same bucket
     base = rng.integers(0, 255, (9, 12, 3)).astype(np.uint8)
-    img = np.array(Image.fromarray(base).resize((136, 104), Image.BILINEAR))
+    w = -(-size // 16) * 16
+    h = -(-(size * 3 // 4) // 16) * 16
+    img = np.array(Image.fromarray(base).resize((w, h), Image.BILINEAR))
     datas = [encode(np.clip(img + i, 0, 255).astype(np.uint8),
                     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
                                restart_interval=4))
@@ -60,7 +63,7 @@ def worker() -> int:
 
     dec = multihost.MultiHostBatchDecoder()
     out = dec.decode(datas)  # compile + warmup
-    assert len(out) == imgs and out[0][0].shape == (104, 136)
+    assert len(out) == imgs and out[0][0].shape == (h, w)
 
     # correctness across the mesh: local results match the golden decoder
     from jpeggpu_tpu import golden
@@ -80,7 +83,7 @@ def worker() -> int:
     return 0
 
 
-def launch(nproc: int, imgs: int, iters: int) -> dict:
+def launch(nproc: int, imgs: int, iters: int, size: int) -> dict:
     port = str(29600 + nproc)
     ncpu = os.cpu_count() or 1
     procs = []
@@ -90,6 +93,7 @@ def launch(nproc: int, imgs: int, iters: int) -> dict:
             _WORKER_FLAG: "1",
             "WS_NPROC": str(nproc), "WS_PID": str(pid), "WS_PORT": port,
             "WS_IMGS": str(imgs), "WS_ITERS": str(iters),
+            "WS_SIZE": str(size),
             "PYTHONPATH": REPO,  # drop the axon sitecustomize injection
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
@@ -126,12 +130,13 @@ def main() -> int:
             i += 1
     imgs = int(argv[argv.index("--imgs") + 1]) if "--imgs" in argv else 4
     iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 5
+    size = int(argv[argv.index("--size") + 1]) if "--size" in argv else 136
     out_path = (argv[argv.index("--out") + 1] if "--out" in argv
                 else os.path.join(REPO, "MULTIHOST.json"))
 
     results = []
     for n in nprocs:
-        r = launch(n, imgs, iters)
+        r = launch(n, imgs, iters, size)
         results.append(r)
         print(f"nproc={n}: {r['per_process_s'] * 1e3:.1f} ms/iter "
               f"({imgs} imgs/process)", file=sys.stderr, flush=True)
@@ -139,6 +144,7 @@ def main() -> int:
     table = {
         "harness": "localhost multi-process CPU, jax.distributed",
         "imgs_per_process": imgs,
+        "image_width": size,
         "iters": iters,
         "results": [
             {**r, "weak_scaling_efficiency":
