@@ -132,3 +132,17 @@ def test_debug_mode_cross_checks(test_image):
             assert planes[0].shape == (45, 67)
     finally:
         debug.set_debug(False)
+
+
+def test_profile_trace_writes_xplane(test_image, tmp_path):
+    """debug.profile_trace captures a jax.profiler trace of a decode (the
+    SURVEY §5 tracing hook); the decode inside the trace stays bit-exact."""
+    from jpeggpu_tpu import decode, debug, golden
+
+    data = encode(test_image)
+    ref = golden.decode(data)
+    with debug.profile_trace(str(tmp_path)):
+        planes = decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(ref, planes))
+    traces = [f for f in tmp_path.rglob("*") if f.suffix == ".pb"]
+    assert traces, "no trace protobuf written"
