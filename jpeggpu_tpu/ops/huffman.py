@@ -70,6 +70,10 @@ class ScanConfig:
     # (the canonical AC tables have 162 symbols -> 48 rows, not 64; the
     # zero-padded tail reads 0 either way so trimming is exact)
     hv_rows: int = 64
+    # per-slot packed-word counts (ceil(num_symbols/4), bucketed to a
+    # multiple of 4): the select tree of _hv_byte is sized per table, so a
+    # 12-symbol DC table costs ~3 selects instead of hv_rows one-hot rows
+    hv_slot_rows: Tuple[int, ...] = (64,) * 8
     # static tuning knobs (part of the executable cache key)
     tuning: Tuning = Tuning()
 
@@ -339,6 +343,59 @@ def _select_rows_t(cfg: ScanConfig, table: jax.Array, c: jax.Array,
     return out
 
 
+def _hv_byte(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array, c: jax.Array,
+             is_dc: jax.Array) -> jax.Array:
+    """``huffval[table(c, is_dc)][idx]`` byte via per-slot select trees.
+
+    The per-lane table blend is deferred until after per-table scalar
+    results exist, and each distinct table slot runs a binary select tree
+    over its OWN static packed-word count (cfg.hv_slot_rows) — a 12-symbol
+    DC table costs ~3 selects where the one-hot formulation paid
+    ``hv_rows`` compare+select+add rows after blending full (rows, lanes)
+    operands per symbol. Exact for any idx in [0, 256): words at/past a
+    table's length read 0 (zero-padded tails + the final range guard),
+    matching the one-hot/reference clamp semantics
+    (decode_huffman.cu:167-194).
+    """
+    word_i = idx >> 2
+    byte_i = idx & 3
+    groups = cfg.comp_groups
+    slots: list = []
+    for g in groups:
+        for t in (g[1], g[2]):
+            if t not in slots:
+                slots.append(t)
+    avail = ctx.hv_packed.shape[1]
+    levels_max = max(
+        (min(cfg.hv_slot_rows[t], avail) - 1).bit_length() for t in slots)
+    bits = [(word_i >> k) & 1 == 1 for k in range(levels_max)]
+
+    picked = {}
+    for t in slots:
+        m = min(cfg.hv_slot_rows[t], avail)
+        vals = [ctx.hv_packed[t, j] for j in range(m)]
+        level = 0
+        while len(vals) > 1:
+            nxt = []
+            for i in range(0, len(vals) - 1, 2):
+                nxt.append(jnp.where(bits[level], vals[i + 1], vals[i]))
+            if len(vals) & 1:  # odd tail: implicit zero partner
+                nxt.append(jnp.where(bits[level], 0, vals[-1]))
+            vals = nxt
+            level += 1
+        r = vals[0]
+        # bits above the tree depth would alias low words; they must read 0
+        picked[t] = jnp.where(word_i < (1 << level), r, 0)
+
+    def pick(g):
+        return jnp.where(is_dc, picked[g[1]], picked[g[2]])
+
+    packed = pick(groups[-1])
+    for g in reversed(groups[:-1]):
+        packed = jnp.where(c < g[0], pick(g), packed)
+    return (packed >> ((3 - byte_i) * 8)) & 0xFF
+
+
 def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                    data: jax.Array, c: jax.Array, is_dc: jax.Array):
     """maxcode-comparison category decode (handles saturated tables)."""
@@ -356,24 +413,7 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     vsm_rows = _select_rows_t(cfg, arrs.vsm, c, is_dc)
     vsm = jnp.sum(jnp.where(iota16_col == l_idx[None, :], vsm_rows, 0), axis=0)
     idx = (vsm + code) & 0xFF
-
-    # symbol value: one-hot over the packed huffval row + byte extract
-    word_i = idx >> 2
-    byte_i = idx & 3
-    iota64 = _iota_col(ctx.hv_packed.shape[1])
-    oh_w = iota64 == word_i[None, :]
-    groups = cfg.comp_groups
-
-    def hv_row(g):
-        dc_row = ctx.hv_packed[g[1]][:, None]  # (64, 1) static slice
-        ac_row = ctx.hv_packed[g[2]][:, None]
-        return jnp.where(is_dc[None, :], dc_row, ac_row)
-
-    hv = hv_row(groups[-1])
-    for g in reversed(groups[:-1]):
-        hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
-    packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
-    sym_cat = (packed >> ((3 - byte_i) * 8)) & 0xFF
+    sym_cat = _hv_byte(cfg, ctx, idx, c, is_dc)
     return cat_len, sym_cat
 
 
@@ -406,23 +446,9 @@ def _category_fast(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     vsm0 = _select_scalar_t(cfg, ctx.vsm0, c, is_dc)
     vsm = vsm0 + jnp.sum(jnp.where(ge15, dv, 0), axis=0)
     idx = (vsm + code) & 0xFF
-
-    # symbol byte via one-hot over the packed huffval row (an MXU
-    # formulation was tried and lost: 16-wide contractions underutilize it)
-    word_i = idx >> 2
-    byte_i = idx & 3
-    iota64 = _iota_col(ctx.hv_packed.shape[1])
-    oh_w = iota64 == word_i[None, :]
-
-    def hv_row(g):
-        return jnp.where(is_dc[None, :], ctx.hv_packed[g[1]][:, None],
-                         ctx.hv_packed[g[2]][:, None])
-
-    hv = hv_row(groups[-1])
-    for g in reversed(groups[:-1]):
-        hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
-    packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
-    sym_cat = (packed >> ((3 - byte_i) * 8)) & 0xFF
+    # symbol byte via per-table select trees (an MXU one-hot formulation
+    # was tried and lost: 16-wide contractions underutilize it)
+    sym_cat = _hv_byte(cfg, ctx, idx, c, is_dc)
     return cat_len, sym_cat
 
 

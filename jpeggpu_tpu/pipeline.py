@@ -108,6 +108,14 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         hv_rows = max((t.num_symbols for t in scan.huff_tables),
                       default=0)
         hv_rows = min(max(-(-hv_rows // 32) * 8, 8), 64)
+        # per-slot word counts for the select-tree value lookup (bucketed
+        # to a multiple of 4 so near-size tables share executables)
+        slot_rows = []
+        for s in range(C.MAX_HUFF_PER_SCAN):
+            n = (scan.huff_tables[s].num_symbols
+                 if s < len(scan.huff_tables) else 0)
+            words = -(-n // 4)
+            slot_rows.append(min(max(-(-words // 4) * 4, 4), hv_rows))
         if pad_scans is not None and si < len(pad_scans):
             lanes = max(lanes, pad_scans[si][0])
             bytes_floor = pad_scans[si][1]
@@ -115,6 +123,10 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                 tile_d = max(tile_d, pad_scans[si][2])
             if len(pad_scans[si]) > 3:
                 hv_rows = max(hv_rows, pad_scans[si][3])
+            if len(pad_scans[si]) > 4:
+                slot_rows = [max(a, b) for a, b in
+                             zip(slot_rows, pad_scans[si][4])]
+        slot_rows = [min(r, hv_rows) for r in slot_rows]
         comps = []
         for sc in scan.components:
             comp = stream.components[sc.component_idx]
@@ -144,6 +156,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             fast_tables=fast_tables,
             tile_d=tile_d,
             hv_rows=hv_rows,
+            hv_slot_rows=tuple(slot_rows),
             tuning=tuning,
         )
         scans.append(ScanPlanStatic(
