@@ -68,6 +68,13 @@ class Tuning:
         every output cell receives at most one term, byte planes span
         [-128, 255] (exact in bf16's 8-bit significand; int8 wraps are
         unwrapped after the dot). "auto" currently selects f32.
+      hv_lookup: "auto" | "onehot" | "tree" — formulation of the symbol
+        loop's huffval byte lookup. "tree" runs a binary select tree per
+        distinct table slot sized to that table's static word count
+        (~3x less VPU row work per symbol); "onehot" blends per-lane
+        table rows and one-hot-sums them (fewer, larger ops: ~3x cheaper
+        to trace/compile). Bit-identical results; "auto" selects tree on
+        TPU backends and onehot on CPU.
     """
 
     frontier_width: int = 2048
@@ -80,6 +87,7 @@ class Tuning:
     entropy_backend: str = "auto"
     write_mode: str = "auto"
     tile_dot: str = "auto"
+    hv_lookup: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -94,6 +102,9 @@ class Tuning:
         if self.tile_dot not in ("auto", "f32", "bf16", "int8"):
             raise ValueError(
                 f"tile_dot must be auto|f32|bf16|int8, got {self.tile_dot!r}")
+        if self.hv_lookup not in ("auto", "onehot", "tree"):
+            raise ValueError(
+                f"hv_lookup must be auto|onehot|tree, got {self.hv_lookup!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -343,6 +343,40 @@ def _select_rows_t(cfg: ScanConfig, table: jax.Array, c: jax.Array,
     return out
 
 
+def _hv_byte_onehot(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array,
+                    c: jax.Array, is_dc: jax.Array) -> jax.Array:
+    """``huffval[table(c, is_dc)][idx]`` via a blended one-hot row sum.
+
+    Fewer, larger HLO ops than the select tree — cheaper to trace/compile
+    (the CPU interpret-mode suite) but ~3x the VPU row work per symbol.
+    """
+    word_i = idx >> 2
+    byte_i = idx & 3
+    iota64 = _iota_col(ctx.hv_packed.shape[1])
+    oh_w = iota64 == word_i[None, :]
+    groups = cfg.comp_groups
+
+    def hv_row(g):
+        return jnp.where(is_dc[None, :], ctx.hv_packed[g[1]][:, None],
+                         ctx.hv_packed[g[2]][:, None])
+
+    hv = hv_row(groups[-1])
+    for g in reversed(groups[:-1]):
+        hv = jnp.where((c < g[0])[None, :], hv_row(g), hv)
+    packed = jnp.sum(jnp.where(oh_w, hv, 0), axis=0)
+    return (packed >> ((3 - byte_i) * 8)) & 0xFF
+
+
+def _resolve_hv_lookup(cfg: ScanConfig) -> str:
+    """Tuning.hv_lookup, 0/auto: select tree on TPU (min VPU row work),
+    one-hot on CPU backends (the tree's many small ops triple interpret-
+    mode trace/compile time; both are bit-identical and cross-tested)."""
+    mode = cfg.tuning.hv_lookup
+    if mode == "auto":
+        return "onehot" if jax.default_backend() == "cpu" else "tree"
+    return mode
+
+
 def _hv_byte(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array, c: jax.Array,
              is_dc: jax.Array) -> jax.Array:
     """``huffval[table(c, is_dc)][idx]`` byte via per-slot select trees.
@@ -357,6 +391,8 @@ def _hv_byte(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array, c: jax.Array,
     matching the one-hot/reference clamp semantics
     (decode_huffman.cu:167-194).
     """
+    if _resolve_hv_lookup(cfg) == "onehot":
+        return _hv_byte_onehot(cfg, ctx, idx, c, is_dc)
     word_i = idx >> 2
     byte_i = idx & 3
     groups = cfg.comp_groups

@@ -61,6 +61,27 @@ def test_bitexact(test_image, name, kw):
     _check(encode(test_image, EncodeSpec(**kw)))
 
 
+@pytest.mark.parametrize("kw", [
+    dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
+    dict(optimize_huffman=True, quality=97),
+])
+def test_bitexact_hv_tree(test_image, kw):
+    """The select-tree huffval lookup (the TPU-default formulation, forced
+    here on CPU) is bit-identical to golden — incl. frequency-optimized
+    tables whose per-slot word counts differ from Annex K."""
+    import dataclasses as _dc
+
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import build_plan, decode_jpeg_device
+    from jpeggpu_tpu.reader import parse
+
+    data = encode(test_image, EncodeSpec(**kw))
+    plan = build_plan(parse(data), tuning=Tuning(hv_lookup="tree"))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_bitexact_gray(test_image):
     _check(encode(test_image[..., 0]))
 
