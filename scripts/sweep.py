@@ -115,6 +115,7 @@ def main() -> int:
     if what == "sync":
         sync_cfgs = [
             ("base", {}),
+            ("onehot", dict(hv_lookup="onehot")),
             ("wf2", dict(wide_follow=2)),
             ("wf4", dict(wide_follow=4)),
             ("wf2_fw4096", dict(wide_follow=2, frontier_width=4096)),
