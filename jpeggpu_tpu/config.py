@@ -75,6 +75,13 @@ class Tuning:
         table rows and one-hot-sums them (fewer, larger ops: ~3x cheaper
         to trace/compile). Bit-identical results; "auto" selects tree on
         TPU backends and onehot on CPU.
+      category: "auto" | "mask" | "bsearch" — formulation of the
+        canonical-limit code-length decode. "mask" blends per-lane limit
+        rows and popcounts 15 comparisons; "bsearch" runs a branchless
+        4-step lower-bound per distinct table slot with the vsm offset
+        looked up on the same decision bits (~1.5x fewer vector rows).
+        Bit-identical results; "auto" selects bsearch on TPU backends and
+        mask on CPU (trace cost, as with hv_lookup).
     """
 
     frontier_width: int = 2048
@@ -88,6 +95,7 @@ class Tuning:
     write_mode: str = "auto"
     tile_dot: str = "auto"
     hv_lookup: str = "auto"
+    category: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -105,6 +113,9 @@ class Tuning:
         if self.hv_lookup not in ("auto", "onehot", "tree"):
             raise ValueError(
                 f"hv_lookup must be auto|onehot|tree, got {self.hv_lookup!r}")
+        if self.category not in ("auto", "mask", "bsearch"):
+            raise ValueError(
+                f"category must be auto|mask|bsearch, got {self.category!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

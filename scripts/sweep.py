@@ -116,6 +116,8 @@ def main() -> int:
         sync_cfgs = [
             ("base", {}),
             ("onehot", dict(hv_lookup="onehot")),
+            ("mask", dict(category="mask")),
+            ("onehot_mask", dict(hv_lookup="onehot", category="mask")),
             ("wf2", dict(wide_follow=2)),
             ("wf4", dict(wide_follow=4)),
             ("wf2_fw4096", dict(wide_follow=2, frontier_width=4096)),

@@ -65,18 +65,18 @@ def test_bitexact(test_image, name, kw):
     dict(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     dict(optimize_huffman=True, quality=97),
 ])
-def test_bitexact_hv_tree(test_image, kw):
-    """The select-tree huffval lookup (the TPU-default formulation, forced
-    here on CPU) is bit-identical to golden — incl. frequency-optimized
-    tables whose per-slot word counts differ from Annex K."""
-    import dataclasses as _dc
-
+def test_bitexact_tpu_symbol_formulations(test_image, kw):
+    """The TPU-default symbol-loop formulations (select-tree huffval
+    lookup + binary-search category decode), forced here on CPU, are
+    bit-identical to golden — incl. frequency-optimized tables whose
+    per-slot word counts differ from Annex K."""
     from jpeggpu_tpu.config import Tuning
     from jpeggpu_tpu.pipeline import build_plan, decode_jpeg_device
     from jpeggpu_tpu.reader import parse
 
     data = encode(test_image, EncodeSpec(**kw))
-    plan = build_plan(parse(data), tuning=Tuning(hv_lookup="tree"))
+    plan = build_plan(parse(data), tuning=Tuning(hv_lookup="tree",
+                                                 category="bsearch"))
     d = decode_jpeg_device(data, plan=plan)
     g = golden.decode(data)
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
