@@ -243,18 +243,32 @@ _BUF_BITS = _BUF_W * 32
 def _refill_buf(ctx: _Ctx, p: jax.Array):
     """_BUF_W buffer words from absolute word floor(abs_bit/32), plus the
     base word index. Words at/past the segment end read zero (reference
-    reader semantics, decode_huffman_reader.hpp:72-112)."""
+    reader semantics, decode_huffman_reader.hpp:72-112).
+
+    The window rows are shifted down by the per-lane offset with a
+    conditional row-shift tree (6 selects over the 34-row window) instead
+    of 8 independent one-hot row sums — ~4x fewer vector rows per refill.
+    Rows shifted past the window end read zero, which the one-hot's missed
+    match also produced."""
     abs_bit = ctx.seg_base_bits + p
     base = abs_bit >> 5
-    w_rel = base - ctx.lane_word0 + 1
-    iota = _iota_col(34)
-    d = iota - w_rel[None, :]
-    win_i = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
+    w_rel = base - ctx.lane_word0 + 1  # in [0, 33] for in-window reads
+    rows = ctx.window.shape[0]
+    x = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
+    zero_rows = jnp.zeros_like(x)
+    s = 32
+    while s:
+        bit = (w_rel & s) != 0
+        if s < rows:
+            shifted = jnp.concatenate([x[s:], zero_rows[:s]], axis=0)
+        else:
+            shifted = zero_rows
+        x = jnp.where(bit[None, :], shifted, x)
+        s >>= 1
     words = []
     for k in range(_BUF_W):
-        wk = jnp.sum(jnp.where(d == k, win_i, 0), axis=0)
         wk = jax.lax.bitcast_convert_type(
-            jnp.where(base + k < ctx.word_end, wk, 0), jnp.uint32)
+            jnp.where(base + k < ctx.word_end, x[k], 0), jnp.uint32)
         words.append(wk)
     return tuple(words), base
 
