@@ -73,15 +73,23 @@ class Tuning:
         distinct table slot sized to that table's static word count
         (~3x less VPU row work per symbol); "onehot" blends per-lane
         table rows and one-hot-sums them (fewer, larger ops: ~3x cheaper
-        to trace/compile). Bit-identical results; "auto" selects tree on
-        TPU backends and onehot on CPU.
+        to trace/compile). Bit-identical results; "auto" currently
+        selects onehot everywhere (the tree flips in once its Mosaic
+        lowering is validated on hardware — see ops/huffman.py).
       category: "auto" | "mask" | "bsearch" — formulation of the
         canonical-limit code-length decode. "mask" blends per-lane limit
         rows and popcounts 15 comparisons; "bsearch" runs a branchless
         4-step lower-bound per distinct table slot with the vsm offset
         looked up on the same decision bits (~1.5x fewer vector rows).
-        Bit-identical results; "auto" selects bsearch on TPU backends and
-        mask on CPU (trace cost, as with hv_lookup).
+        Bit-identical results; "auto" currently selects mask everywhere
+        (bsearch flips in once validated on hardware, as with hv_lookup).
+      refill: "auto" | "onehot" | "shift" — formulation of the rolling
+        bit-buffer refill. "onehot" sums 8 one-hot row selections of the
+        34-word window; "shift" shifts the window rows down by the
+        per-lane offset with a 6-step conditional row-shift tree (~4x
+        fewer vector rows). Bit-identical results; "auto" currently
+        selects onehot everywhere (shift flips in once validated on
+        hardware).
     """
 
     frontier_width: int = 2048
@@ -96,6 +104,7 @@ class Tuning:
     tile_dot: str = "auto"
     hv_lookup: str = "auto"
     category: str = "auto"
+    refill: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -116,6 +125,9 @@ class Tuning:
         if self.category not in ("auto", "mask", "bsearch"):
             raise ValueError(
                 f"category must be auto|mask|bsearch, got {self.category!r}")
+        if self.refill not in ("auto", "onehot", "shift"):
+            raise ValueError(
+                f"refill must be auto|onehot|shift, got {self.refill!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -240,35 +240,58 @@ _BUF_W = 8
 _BUF_BITS = _BUF_W * 32
 
 
-def _refill_buf(ctx: _Ctx, p: jax.Array):
+def _resolve_refill(cfg: ScanConfig) -> str:
+    """Tuning.refill. "auto" currently selects the one-hot everywhere
+    (the shift tree flips in once its Mosaic lowering is validated on
+    hardware, as with hv_lookup/category)."""
+    mode = cfg.tuning.refill
+    if mode == "auto":
+        return "onehot"
+    return mode
+
+
+def _refill_buf(cfg: ScanConfig, ctx: _Ctx, p: jax.Array):
     """_BUF_W buffer words from absolute word floor(abs_bit/32), plus the
     base word index. Words at/past the segment end read zero (reference
     reader semantics, decode_huffman_reader.hpp:72-112).
 
-    The window rows are shifted down by the per-lane offset with a
-    conditional row-shift tree (6 selects over the 34-row window) instead
-    of 8 independent one-hot row sums — ~4x fewer vector rows per refill.
-    Rows shifted past the window end read zero, which the one-hot's missed
-    match also produced."""
+    Tuning.refill="shift": the window rows are shifted down by the
+    per-lane offset with a conditional row-shift tree (6 selects over the
+    34-row window) instead of 8 independent one-hot row sums — ~4x fewer
+    vector rows per refill. Rows shifted past the window end read zero,
+    which the one-hot's missed match also produced; negative and
+    out-of-window offsets shift everything out and read zero the same
+    way. "auto" stays on the one-hot until the shift's Mosaic lowering is
+    validated on hardware (scripts/sweep.py)."""
     abs_bit = ctx.seg_base_bits + p
     base = abs_bit >> 5
     w_rel = base - ctx.lane_word0 + 1  # in [0, 33] for in-window reads
-    rows = ctx.window.shape[0]
-    x = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
-    zero_rows = jnp.zeros_like(x)
-    s = 32
-    while s:
-        bit = (w_rel & s) != 0
-        if s < rows:
-            shifted = jnp.concatenate([x[s:], zero_rows[:s]], axis=0)
-        else:
-            shifted = zero_rows
-        x = jnp.where(bit[None, :], shifted, x)
-        s >>= 1
+    win_i = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
     words = []
+    if _resolve_refill(cfg) == "shift":
+        rows = ctx.window.shape[0]
+        x = win_i
+        zero_rows = jnp.zeros_like(x)
+        s = 32
+        while s:
+            bit = (w_rel & s) != 0
+            if s < rows:
+                shifted = jnp.concatenate([x[s:], zero_rows[:s]], axis=0)
+            else:
+                shifted = zero_rows
+            x = jnp.where(bit[None, :], shifted, x)
+            s >>= 1
+        for k in range(_BUF_W):
+            wk = jax.lax.bitcast_convert_type(
+                jnp.where(base + k < ctx.word_end, x[k], 0), jnp.uint32)
+            words.append(wk)
+        return tuple(words), base
+    iota = _iota_col(34)
+    d = iota - w_rel[None, :]
     for k in range(_BUF_W):
+        wk = jnp.sum(jnp.where(d == k, win_i, 0), axis=0)
         wk = jax.lax.bitcast_convert_type(
-            jnp.where(base + k < ctx.word_end, x[k], 0), jnp.uint32)
+            jnp.where(base + k < ctx.word_end, wk, 0), jnp.uint32)
         words.append(wk)
     return tuple(words), base
 
@@ -382,12 +405,15 @@ def _hv_byte_onehot(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array,
 
 
 def _resolve_hv_lookup(cfg: ScanConfig) -> str:
-    """Tuning.hv_lookup, 0/auto: select tree on TPU (min VPU row work),
-    one-hot on CPU backends (the tree's many small ops triple interpret-
-    mode trace/compile time; both are bit-identical and cross-tested)."""
+    """Tuning.hv_lookup. "auto" currently selects the one-hot everywhere:
+    the tree costs ~3x less VPU row work per symbol but its Mosaic lowering
+    (scalar extraction from VMEM tables) is not yet validated on real TPU
+    hardware — flip auto once scripts/sweep.py confirms it there. On CPU
+    the tree's many small ops also triple interpret-mode trace time. Both
+    formulations are bit-identical and cross-tested."""
     mode = cfg.tuning.hv_lookup
     if mode == "auto":
-        return "onehot" if jax.default_backend() == "cpu" else "tree"
+        return "onehot"
     return mode
 
 
@@ -468,11 +494,13 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def _resolve_category(cfg: ScanConfig) -> str:
-    """Tuning.category, auto: binary search on TPU (fewer VPU rows per
-    symbol), mask popcount on CPU backends (fewer, larger HLO ops)."""
+    """Tuning.category. "auto" currently selects the mask popcount
+    everywhere: the binary search costs ~1.5x fewer VPU rows per symbol
+    but its Mosaic lowering is not yet validated on real TPU hardware —
+    flip auto once scripts/sweep.py confirms it there."""
     mode = cfg.tuning.category
     if mode == "auto":
-        return "mask" if jax.default_backend() == "cpu" else "bsearch"
+        return "mask"
     return mode
 
 
@@ -677,7 +705,7 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         # refill the rolling bit buffer once, then run the unrolled symbol
         # steps off it (amortizes the one-hot window selects AND the
         # per-iteration fixed cost which otherwise dominate the VPU work)
-        buf, base = _refill_buf(ctx, p)
+        buf, base = _refill_buf(cfg, ctx, p)
         for _u in range(_resolve_unroll(cfg)):
             p, c, z, run, commit, active = _symbol_step_buf(
                 cfg, arrs, ctx, buf, base, p, c, z, active)
@@ -1131,7 +1159,7 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
 
         def inner(k2, istate):
             p, c, z, pos, active, m, vbuf, wbuf = istate
-            buf, base = _refill_buf(ctx, p)
+            buf, base = _refill_buf(cfg, ctx, p)
             for u in range(unroll):
                 data, stall = _load32_buf(ctx, p, buf, base)
                 length, sym, run = _decode_symbol(cfg, arrs, ctx, data, c, z)

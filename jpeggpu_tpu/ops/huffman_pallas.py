@@ -105,7 +105,7 @@ def _sync_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
         n = st_ref[3]
         active = st_ref[4] != 0
         # one rolling-buffer refill per iteration, funnel reads per symbol
-        buf, base = H._refill_buf(ctx, p)
+        buf, base = H._refill_buf(cfg, ctx, p)
         for _u in range(H._resolve_unroll(cfg)):
             p, c, z, run, commit, active = H._symbol_step_buf(
                 cfg, arrs, ctx, buf, base, p, c, z, active)
@@ -199,7 +199,7 @@ def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
         pos = st_ref[3]
         active = st_ref[4] != 0
         m = st_ref[5]
-        buf, base = H._refill_buf(ctx, p)
+        buf, base = H._refill_buf(cfg, ctx, p)
         rows_v, rows_w = [], []
         for u in range(unroll):
             data, stall = H._load32_buf(ctx, p, buf, base)

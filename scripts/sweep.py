@@ -115,9 +115,11 @@ def main() -> int:
     if what == "sync":
         sync_cfgs = [
             ("base", {}),
-            ("onehot", dict(hv_lookup="onehot")),
-            ("mask", dict(category="mask")),
-            ("onehot_mask", dict(hv_lookup="onehot", category="mask")),
+            ("tree", dict(hv_lookup="tree")),
+            ("bsearch", dict(category="bsearch")),
+            ("shift", dict(refill="shift")),
+            ("tbs", dict(hv_lookup="tree", category="bsearch",
+                         refill="shift")),
             ("wf2", dict(wide_follow=2)),
             ("wf4", dict(wide_follow=4)),
             ("wf2_fw4096", dict(wide_follow=2, frontier_width=4096)),

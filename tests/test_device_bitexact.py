@@ -76,7 +76,8 @@ def test_bitexact_tpu_symbol_formulations(test_image, kw):
 
     data = encode(test_image, EncodeSpec(**kw))
     plan = build_plan(parse(data), tuning=Tuning(hv_lookup="tree",
-                                                 category="bsearch"))
+                                                 category="bsearch",
+                                                 refill="shift"))
     d = decode_jpeg_device(data, plan=plan)
     g = golden.decode(data)
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
