@@ -161,6 +161,61 @@ class Decoder:
                         f"device output diverges from golden CPU decode "
                         f"(plane {i})")
             self._log("debug: device output matches golden CPU decoder")
+        if npix <= debug.DEBUG_GOLDEN_MAX_PIXELS:
+            self._sync_invariant_checks()
+
+    def _sync_invariant_checks(self) -> None:
+        """Numeric-invariant sanitizer over the converged decoder states —
+        the TPU analog of the reference's routine compute-sanitizer runs
+        (decoder.cpp:248-251's zero-inits exist only to satisfy initcheck).
+        For every scan, re-derives the Jacobi-synced per-subsequence states
+        and asserts the structural invariants any correct synchronization
+        must satisfy: bit positions end inside the owning subsequence's
+        window and never regress along a segment, the component counter
+        stays inside the MCU, the zig-zag index stays inside the data unit,
+        and symbol counts are non-negative. (checkify index_checks cannot
+        be used wholesale: the masking idiom on TPU is deliberate
+        out-of-bounds scatter indices with mode="drop".)"""
+        import jax
+
+        from . import constants as C
+        from .errors import InternalError
+        from .ops import huffman as H
+
+        plan = self._require_plan()
+        inputs = self._host_inputs()
+        for si, sp in enumerate(plan.signature.scans):
+            cfg = sp.cfg
+            inp = inputs["scans"][si]
+
+            def f(i, cfg=cfg):
+                arrs = H.ScanArrays(
+                    words=i["words"], seg_of_subseq=i["seg_of_subseq"],
+                    seg_first_lane=i["seg_first_lane"],
+                    seg_num_subseq=i["seg_num_subseq"],
+                    maxcode=i["maxcode"], vsm=i["vsm"],
+                    huffval=i["huffval"])
+                ctx = H.make_ctx(cfg, arrs)
+                p, c, z, n = H.sync_states(cfg, arrs, ctx)
+                return p, c, z, n, ctx.rel, ctx.lane_valid
+
+            p, c, z, n, rel, valid = (np.asarray(x) for x in jax.jit(f)(inp))
+            p, c, z, n, rel = (a[valid] for a in (p, c, z, n, rel))
+            end = (rel + 1) * C.SUBSEQ_SIZE_BITS
+            bad = []
+            if not ((p >= 0) & (p <= end)).all():
+                bad.append("bit position outside subsequence window")
+            if not ((c >= 0) & (c < cfg.du_per_mcu)).all():
+                bad.append("component counter outside MCU")
+            if not ((z >= 0) & (z < 64)).all():
+                bad.append("zig-zag index outside data unit")
+            if not (n >= 0).all():
+                bad.append("negative symbol count")
+            if bad:
+                raise InternalError(
+                    f"sync-state invariants violated (scan {si}): "
+                    + "; ".join(bad))
+        self._log("debug: sync-state numeric invariants hold")
 
     def decode_rgb(self) -> np.ndarray:
         """Convenience: decode + chroma upsample + YCbCr->RGB (host side,
