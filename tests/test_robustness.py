@@ -134,6 +134,31 @@ def test_debug_mode_cross_checks(test_image):
         debug.set_debug(False)
 
 
+def test_debug_sync_invariants_fire(test_image, monkeypatch):
+    """The debug-mode numeric-invariant sanitizer raises InternalError when
+    the synchronized states are corrupted (here: zig-zag index pushed
+    outside the data unit)."""
+    pytest.importorskip("jax")
+    from jpeggpu_tpu import Decoder
+    from jpeggpu_tpu.errors import InternalError
+    from jpeggpu_tpu.ops import huffman as H
+
+    real_sync = H.sync_states
+
+    def corrupted(cfg, arrs, ctx, *a, **k):
+        p, c, z, n = real_sync(cfg, arrs, ctx, *a, **k)
+        return p, c, z + 64, n
+
+    data = encode(test_image)
+    d = Decoder()
+    d.parse_header(data)
+    d._sync_invariant_checks()  # clean states pass
+    monkeypatch.setattr(H, "sync_states", corrupted)
+    with pytest.raises(InternalError, match="zig-zag"):
+        d._sync_invariant_checks()
+    d.cleanup()
+
+
 def test_profile_trace_writes_xplane(test_image, tmp_path):
     """debug.profile_trace captures a jax.profiler trace of a decode (the
     SURVEY §5 tracing hook); the decode inside the trace stays bit-exact."""
