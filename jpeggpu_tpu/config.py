@@ -67,7 +67,12 @@ class Tuning:
         into lo/hi byte planes contracted separately, which is exact:
         every output cell receives at most one term, byte planes span
         [-128, 255] (exact in bf16's 8-bit significand; int8 wraps are
-        unwrapped after the dot). "auto" currently selects f32.
+        unwrapped after the dot). "auto" selects f32: measured on v5e
+        (2026-08-18), Mosaic rejects *batched* dot_general with narrow
+        operands (bf16/int8 compile-fail; unbatched narrow dots and the
+        batched f32 dot lower fine), and the stage is bound by the VPU
+        one-hot build anyway (BENCH.md), so the narrow modes remain
+        CPU/interpret-only test paths.
       hv_lookup: "auto" | "onehot" | "tree" — formulation of the symbol
         loop's huffval byte lookup. "tree" runs a binary select tree per
         distinct table slot sized to that table's static word count

@@ -145,7 +145,13 @@ def _tiles_kernel(s_cap, tile_d, dot_dtype, val_ref, wpos_ref, m_ref,
 
 
 def resolve_tile_dot(mode: str) -> str:
-    """Tuning.tile_dot -> concrete dot dtype ("auto" -> measured best)."""
+    """Tuning.tile_dot -> concrete dot dtype ("auto" -> measured best).
+
+    f32 wins by default: on v5e (2026-08-18) Mosaic fails to lower the
+    *batched* narrow dot_general forms below (bf16/int8 both; the batched
+    f32 dot and unbatched narrow dots compile), so the narrow byte-plane
+    modes are exercised only on interpret/CPU backends by the tests.
+    """
     return "f32" if mode == "auto" else mode
 
 

@@ -55,6 +55,16 @@ def main() -> int:
         i = argv.index("--what")
         what = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    kreps = 3
+    if "--K" in argv:
+        i = argv.index("--K")
+        kreps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     image = args[0] if args else DEFAULT_IMAGE
 
@@ -75,7 +85,8 @@ def main() -> int:
             seg_num_subseq=i["seg_num_subseq"], maxcode=i["maxcode"],
             vsm=i["vsm"], huffval=i["huffval"])
 
-    def slope(name, stage_fn, K=3):
+    def slope(name, stage_fn, K=None):
+        K = kreps if K is None else K
         def rep_f(KK):
             def f(i):
                 words = i["words"]
@@ -128,8 +139,17 @@ def main() -> int:
             ("cf8", dict(chain_follow=8)),
             ("cf8_wf2", dict(chain_follow=8, wide_follow=2)),
             ("cf2_hw1024", dict(chain_follow=2, head_width=1024)),
+            ("tbs_cf8", dict(hv_lookup="tree", category="bsearch",
+                             refill="shift", chain_follow=8)),
+            ("tbs_wf4", dict(hv_lookup="tree", category="bsearch",
+                             refill="shift", wide_follow=4)),
+            ("tbs_cf8_wf4", dict(hv_lookup="tree", category="bsearch",
+                                 refill="shift", chain_follow=8,
+                                 wide_follow=4)),
         ]
         for name, kw in sync_cfgs:
+            if only is not None and name not in only:
+                continue
             cfg = with_tuning(**kw)
 
             def s_sync(i, w, cfg=cfg):
