@@ -241,12 +241,14 @@ _BUF_BITS = _BUF_W * 32
 
 
 def _resolve_refill(cfg: ScanConfig) -> str:
-    """Tuning.refill. "auto" currently selects the one-hot everywhere
-    (the shift tree flips in once its Mosaic lowering is validated on
-    hardware, as with hv_lookup/category)."""
+    """Tuning.refill. "auto" selects the row-shift tree on TPU backends
+    and the one-hot elsewhere. Validated on v5e (2026-08-18,
+    scripts/sweep.py --what sync): shift alone is neutral (15.9 vs 16.0
+    ms sync) but combined with hv_lookup=tree + category=bsearch the
+    sync pass drops 14.96 -> 5.42 ms, so the three flip together."""
     mode = cfg.tuning.refill
     if mode == "auto":
-        return "onehot"
+        return "onehot" if jax.default_backend() == "cpu" else "shift"
     return mode
 
 
@@ -405,15 +407,15 @@ def _hv_byte_onehot(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array,
 
 
 def _resolve_hv_lookup(cfg: ScanConfig) -> str:
-    """Tuning.hv_lookup. "auto" currently selects the one-hot everywhere:
-    the tree costs ~3x less VPU row work per symbol but its Mosaic lowering
-    (scalar extraction from VMEM tables) is not yet validated on real TPU
-    hardware — flip auto once scripts/sweep.py confirms it there. On CPU
-    the tree's many small ops also triple interpret-mode trace time. Both
-    formulations are bit-identical and cross-tested."""
+    """Tuning.hv_lookup. "auto" selects the select tree on TPU backends
+    (validated on v5e 2026-08-18, scripts/sweep.py --what sync: tree
+    alone cuts the sync pass 14.96 -> 9.38 ms; with bsearch+shift it
+    reaches 5.42 ms) and the one-hot on CPU, where the tree's many small
+    ops triple interpret-mode trace time. Both formulations are
+    bit-identical and cross-tested."""
     mode = cfg.tuning.hv_lookup
     if mode == "auto":
-        return "onehot"
+        return "onehot" if jax.default_backend() == "cpu" else "tree"
     return mode
 
 
@@ -494,13 +496,13 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def _resolve_category(cfg: ScanConfig) -> str:
-    """Tuning.category. "auto" currently selects the mask popcount
-    everywhere: the binary search costs ~1.5x fewer VPU rows per symbol
-    but its Mosaic lowering is not yet validated on real TPU hardware —
-    flip auto once scripts/sweep.py confirms it there."""
+    """Tuning.category. "auto" selects the binary search on TPU backends
+    (validated on v5e 2026-08-18, scripts/sweep.py --what sync: bsearch
+    alone cuts the sync pass 14.96 -> 13.13 ms; with tree+shift it
+    reaches 5.42 ms) and the mask popcount on CPU."""
     mode = cfg.tuning.category
     if mode == "auto":
-        return "mask"
+        return "mask" if jax.default_backend() == "cpu" else "bsearch"
     return mode
 
 
