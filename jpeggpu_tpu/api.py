@@ -52,8 +52,9 @@ class ImgInfo:
 class Decoder:
     """Reusable decoder handle (analog of jpeggpu_decoder_t)."""
 
-    def __init__(self):
+    def __init__(self, *, host_destuff: bool = True):
         self._logging = False
+        self._host_destuff = bool(host_destuff)
         self._plan: Optional[DecodePlan] = None
         self._data: Optional[bytes] = None
         self._staged = None
@@ -70,7 +71,7 @@ class Decoder:
     # -- phase 1: host-only header parse (jpeggpu.h:81-85) --
     def parse_header(self, data: bytes) -> ImgInfo:
         stream = parse(data, log=self._log if self._logging else None)
-        self._plan = build_plan(stream)
+        self._plan = build_plan(stream, host_destuff=self._host_destuff)
         self._data = data
         self._staged = None
         self._device_inputs = None
@@ -115,10 +116,27 @@ class Decoder:
             {"scans": inputs["scans"], "qtables": inputs["qtables"]})
 
     # -- phase 4: decode (jpeggpu.h:102-109) --
-    def decode(self, *, with_idct: bool = True) -> List[np.ndarray]:
+    def decode(self, *, with_idct: bool = True, device: bool = False,
+               donate: bool = False) -> List:
         """Run the device pipeline; returns per-component planes (uint8,
         cropped to component sizes — planar, possibly subsampled, exactly
-        like the reference output contract jpeggpu.h:95-100)."""
+        like the reference output contract jpeggpu.h:95-100).
+
+        With ``device=True`` the planes are returned as ``jax.Array``s with
+        NO host synchronization — the call returns as soon as the execution
+        is dispatched, and results materialize only when read (or
+        ``block_until_ready``). This restores the reference's stream-ordered,
+        no-hidden-sync contract (jpeggpu.h:90-109, README.md:8): decoded
+        planes can be chained into further device work without a D2H round
+        trip. The default ``device=False`` materializes numpy arrays (one
+        blocking D2H, the example-tool idiom).
+
+        With ``donate=True`` the staged device input buffers (scan words,
+        segment tables) are donated to the executable, letting XLA reuse
+        them in place for temporaries — the analog of the reference's
+        caller-owned, decode-consumed d_tmp buffer. The staged inputs are
+        invalid afterwards; the next decode restages (call ``transfer``).
+        """
         plan = self._require_plan()
         inputs = self._host_inputs()
         if self._device_inputs is None:
@@ -127,8 +145,13 @@ class Decoder:
             self._log(f"scan {s}: {scan.num_subsequences} subsequences in "
                       f"{scan.num_segments} segment(s), "
                       f"{scan.num_mcus_x}x{scan.num_mcus_y} MCUs")
-        exe = get_compiled(plan, inputs, with_idct)
-        out = exe(self._device_inputs["scans"], self._device_inputs["qtables"])
+        exe = get_compiled(plan, inputs, with_idct, donate=donate)
+        dev = self._device_inputs
+        if donate:
+            self._device_inputs = None  # donated buffers are consumed
+        out = exe(dev["scans"], dev["qtables"])
+        if device:
+            return list(out)
         planes = [np.asarray(p) for p in out]
         from . import debug
 
@@ -150,6 +173,7 @@ class Decoder:
                     not (seg[1:, 0] == np.cumsum(seg[:-1, 1])).all()):
                 raise InternalError("segment table inconsistent")
         self._log("debug: segment tables consistent")
+        self._destuff_cross_check()
         npix = stream.size_x * stream.size_y
         if with_idct and npix <= debug.DEBUG_GOLDEN_MAX_PIXELS:
             from . import golden
@@ -163,6 +187,36 @@ class Decoder:
             self._log("debug: device output matches golden CPU decoder")
         if npix <= debug.DEBUG_GOLDEN_MAX_PIXELS:
             self._sync_invariant_checks()
+
+    def _destuff_cross_check(self) -> None:
+        """If the plan uses device-side destuffing, synchronously compare
+        its output words against the host destuffer — the analog of the
+        reference's is_debug checks that D2H-verify the GPU destuff against
+        the host parser (decode_destuff.cu:242-253, :328-341)."""
+        import jax
+
+        from .errors import InternalError
+        from .ops.destuff import destuff_scan
+        from .pipeline import _destuff_host
+
+        plan = self._require_plan()
+        inputs = self._host_inputs()
+        buf = np.frombuffer(self._data, np.uint8)
+        for si, (scan, sp) in enumerate(
+                zip(plan.stream.scans, plan.signature.scans)):
+            if sp.host_destuff:
+                continue
+            inp = inputs["scans"][si]
+            dev = np.asarray(jax.jit(destuff_scan, static_argnums=2)(
+                inp["raw"], inp["seg_sub_offset"], sp.cfg.lanes))
+            host = _destuff_host(buf, scan, sp.cfg.lanes)
+            if not np.array_equal(dev, host):
+                bad = int(np.flatnonzero(dev != host)[0])
+                raise InternalError(
+                    f"device destuff diverges from host destuffer "
+                    f"(scan {si}, first word {bad}: device "
+                    f"{dev[bad]:#010x} != host {host[bad]:#010x})")
+            self._log(f"debug: scan {si} device destuff matches host")
 
     def _sync_invariant_checks(self) -> None:
         """Numeric-invariant sanitizer over the converged decoder states —
@@ -188,9 +242,16 @@ class Decoder:
             cfg = sp.cfg
             inp = inputs["scans"][si]
 
-            def f(i, cfg=cfg):
+            def f(i, cfg=cfg, sp=sp):
+                if sp.host_destuff:
+                    words = i["words"]
+                else:
+                    from .ops.destuff import destuff_scan
+
+                    words = destuff_scan(i["raw"], i["seg_sub_offset"],
+                                         cfg.lanes)
                 arrs = H.ScanArrays(
-                    words=i["words"], seg_of_subseq=i["seg_of_subseq"],
+                    words=words, seg_of_subseq=i["seg_of_subseq"],
                     seg_first_lane=i["seg_first_lane"],
                     seg_num_subseq=i["seg_num_subseq"],
                     maxcode=i["maxcode"], vsm=i["vsm"],

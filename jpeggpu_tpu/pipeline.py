@@ -335,6 +335,17 @@ def _jit_pipeline(signature: PlanSignature, scan_inputs, qtables, with_idct):
     return decode_pipeline(signature, scan_inputs, qtables, with_idct)
 
 
+# Donating variant: the staged scan buffers (words/raw, segment tables) are
+# donated to the executable so XLA reuses them in place for pipeline
+# temporaries — the analog of the reference's contract that the caller's
+# d_tmp buffer is consumed by decode and reusable afterwards
+# (jpeggpu.h:90-109). The donated device inputs are invalid after the call.
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+def _jit_pipeline_donate(signature: PlanSignature, scan_inputs, qtables,
+                         with_idct):
+    return decode_pipeline(signature, scan_inputs, qtables, with_idct)
+
+
 # Explicit AOT executable cache. Compiling through .lower().compile() is both
 # dramatically faster than dispatch-triggered compilation on this jax version
 # and gives us an inspectable artifact (memory analysis, cost analysis) — the
@@ -343,11 +354,13 @@ def _jit_pipeline(signature: PlanSignature, scan_inputs, qtables, with_idct):
 _EXEC_CACHE: Dict = {}
 
 
-def get_compiled(plan: DecodePlan, inputs, with_idct: bool = True):
-    key = (plan.signature, with_idct)
+def get_compiled(plan: DecodePlan, inputs, with_idct: bool = True,
+                 donate: bool = False):
+    key = (plan.signature, with_idct, donate)
     exe = _EXEC_CACHE.get(key)
     if exe is None:
-        exe = _jit_pipeline.lower(
+        fn = _jit_pipeline_donate if donate else _jit_pipeline
+        exe = fn.lower(
             plan.signature, inputs["scans"], inputs["qtables"],
             with_idct).compile()
         _EXEC_CACHE[key] = exe

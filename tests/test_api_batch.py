@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+import jax.numpy as jnp
 
 from jpeggpu_tpu import Decoder, decode, decode_rgb, golden
 from jpeggpu_tpu.encoder import EncodeSpec, encode
@@ -189,3 +190,75 @@ def test_merged_batch_with_restarts(test_image):
         ref = golden.decode(data)
         for a, b in zip(ref, planes):
             assert np.array_equal(a, b)
+
+
+def test_device_resident_decode(test_image):
+    """decode(device=True) returns jax.Arrays with no host sync (the
+    reference's stream-ordered no-hidden-sync contract, jpeggpu.h:90-109)."""
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    with Decoder() as d:
+        d.parse_header(data)
+        out = d.decode(device=True)
+        # no numpy materialization happened: these are device arrays the
+        # caller can chain into further jitted work
+        assert all(isinstance(p, jax.Array) for p in out)
+        chained = jax.jit(lambda p: p.astype(jnp.int32) + 1)(out[0])
+        ref = golden.decode(data)
+        for a, b in zip(ref, out):
+            assert np.array_equal(a, np.asarray(b))
+        assert np.array_equal(np.asarray(chained), ref[0].astype(np.int32) + 1)
+
+
+def test_donated_decode_consumes_staged_buffers(test_image):
+    """decode(donate=True): staged scan buffers are donated to the
+    executable (caller-owned d_tmp consumed by decode, jpeggpu.h:90-109);
+    the handle restages on the next decode and stays correct."""
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    ref = golden.decode(data)
+    with Decoder() as d:
+        d.parse_header(data)
+        d.transfer()
+        staged = d._device_inputs["scans"][0]["words"]
+        planes = d.decode(donate=True)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+        if jax.default_backend() != "cpu":  # CPU ignores donation
+            assert staged.is_deleted()  # the donated buffer was consumed
+        # handle remains usable: decode restages
+        planes2 = d.decode()
+        for a, b in zip(ref, planes2):
+            assert np.array_equal(a, b)
+
+
+def test_debug_destuff_cross_check_fires(test_image, monkeypatch):
+    """The is_debug device-vs-host destuff comparison (the analog of
+    decode_destuff.cu:242-253) passes on a good decode and raises
+    InternalError when the device destuffer is corrupted."""
+    from jpeggpu_tpu import debug
+    from jpeggpu_tpu.errors import InternalError
+    from jpeggpu_tpu.ops import destuff as destuff_mod
+
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                         restart_interval=2))
+    debug.set_debug(True)
+    try:
+        with Decoder(host_destuff=False) as d:
+            d.parse_header(data)
+            planes = d.decode()
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
+
+        good = destuff_mod.destuff_scan
+
+        def corrupted(raw, seg_sub_offset, lanes):
+            words = good(raw, seg_sub_offset, lanes)
+            return words.at[3].set(words[3] ^ 0xDEAD)
+
+        monkeypatch.setattr(destuff_mod, "destuff_scan", corrupted)
+        with Decoder(host_destuff=False) as d:
+            d.parse_header(data)
+            with pytest.raises(InternalError, match="destuff"):
+                d.decode()
+    finally:
+        debug.set_debug(False)
