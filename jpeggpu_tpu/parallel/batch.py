@@ -88,9 +88,8 @@ def _merged_scan_coeffs(sp, scans_merged, batch: int):
     return coeffs.reshape(batch, cfg0.total_positions)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _merged_pipeline(signature: PlanSignature, merged_scans, qtables,
-                     with_idct: bool):
+def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
+                          with_idct: bool):
     from ..ops.dc import undelta_dc
     from ..ops.idct import dequant_idct_plane
     from ..ops.transpose import deinterleave
@@ -121,6 +120,66 @@ def _merged_pipeline(signature: PlanSignature, merged_scans, qtables,
             plane = jax.vmap(dequant_idct_plane)(plane, qtables[:, qidx[ci]])
         out.append(plane[:, :size_y, :size_x])
     return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _merged_pipeline(signature: PlanSignature, merged_scans, qtables,
+                     with_idct: bool):
+    return _merged_pipeline_body(signature, merged_scans, qtables, with_idct)
+
+
+# --- mesh-merged batching -----------------------------------------------------
+#
+# On a mesh, the batch is split into one merged-lane group per device: each
+# device decodes its B/D images as ONE wide decode (the same merged-lane
+# machinery as the single-device path), under shard_map so XLA runs the
+# identical SPMD program per device with no hot-path collectives. This
+# replaces the vmapped pipeline, whose batched scatters lower
+# catastrophically (BENCH.md "History").
+
+def _mesh_merged_fn(signature: PlanSignature, with_idct: bool,
+                    merged_scans, qtables):
+    # per-device blocks carry a leading shard axis of size 1
+    strip = jax.tree.map(lambda x: x[0], merged_scans)
+    out = _merged_pipeline_body(signature, strip, qtables[0], with_idct)
+    return tuple(p[None] for p in out)
+
+
+def mesh_merged_exec(signature: PlanSignature, mesh: Mesh, merged_scans,
+                     qtables, with_idct: bool):
+    """Compile the shard_map'd merged-lane decode for stacked per-shard
+    inputs (leading axis = mesh size, sharded; every leaf sharded on it)."""
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    f = shard_map(
+        partial(_mesh_merged_fn, signature, with_idct),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(f).lower(merged_scans, qtables).compile()
+
+
+def _stack_merged_shards(sig: PlanSignature, batch_inputs: List[Dict],
+                         num_shards: int):
+    """Split B staged images into num_shards merged-lane groups of B/D and
+    stack each group's merged arrays on a leading shard axis."""
+    B = len(batch_inputs)
+    assert B % num_shards == 0, (B, num_shards)
+    k = B // num_shards
+    per_shard = []
+    for d in range(num_shards):
+        sub = batch_inputs[d * k:(d + 1) * k]
+        merged = [merge_scan_inputs(sp, [bi["scans"][s] for bi in sub])
+                  for s, sp in enumerate(sig.scans)]
+        qt = np.stack([bi["qtables"] for bi in sub])
+        per_shard.append((merged, qt))
+    merged_stacked = jax.tree.map(
+        lambda *xs: np.stack(xs, axis=0), *[m for m, _ in per_shard])
+    qt_stacked = np.stack([q for _, q in per_shard])
+    return merged_stacked, qt_stacked, k
 
 
 def merge_scan_inputs(sp, per_image: List[Dict]) -> Dict[str, np.ndarray]:
@@ -224,6 +283,28 @@ class BatchDecoder:
             self._exec_cache[key] = exe
         return exe
 
+    def _decode_mesh_merged(self, sig: PlanSignature,
+                            batch_inputs: List[Dict], D: int):
+        """Mesh path: one merged-lane decode of B/D images per device under
+        shard_map (no hot-path collectives; each plane returns sharded on
+        its leading batch axis)."""
+        merged_stacked, qt_stacked, k = _stack_merged_shards(
+            sig, batch_inputs, D)
+        axis = self.mesh.axis_names[0]
+        sharding = NamedSharding(self.mesh, P(axis))
+        dev_merged = jax.device_put(merged_stacked, sharding)
+        dev_qt = jax.device_put(qt_stacked, sharding)
+        key = (sig, k, self.with_idct, "mesh_merged",
+               tuple(map(str, self.mesh.devices.flat)))
+        exe = self._exec_cache.get(key)
+        if exe is None:
+            exe = mesh_merged_exec(sig, self.mesh, dev_merged, dev_qt,
+                                   self.with_idct)
+            self._exec_cache[key] = exe
+        out = exe(dev_merged, dev_qt)
+        # (D, k, H, W) -> (B, H, W)
+        return [np.asarray(p).reshape((-1,) + p.shape[2:]) for p in out]
+
     def decode(self, datas: Sequence[bytes]) -> List[List[np.ndarray]]:
         """Decode a sequence of JPEGs; returns per-image component planes in
         input order. Images are grouped by *pixel geometry* (size, sampling,
@@ -267,11 +348,24 @@ class BatchDecoder:
                 m = self.mesh.devices.size
                 pad = (-n) % m
             batch_inputs = g.inputs + [g.inputs[-1]] * pad
-            use_merged = (
-                self.merged and self.mesh is None and len(batch_inputs) > 1
+            mergeable = (
+                self.merged
                 and all(sp.host_destuff for sp in sig.scans)
                 and all(_tables_shared([bi["scans"][s] for bi in batch_inputs])
                         for s in range(len(sig.scans))))
+            max_total = max(sp.cfg.total_positions for sp in sig.scans)
+            if mergeable and self.mesh is not None:
+                D = self.mesh.devices.size
+                k = len(batch_inputs) // D
+                # int32 position indices bound the per-shard merge width
+                if k * max_total < 2 ** 31:
+                    out = self._decode_mesh_merged(sig, batch_inputs, D)
+                    planes = [np.asarray(p) for p in out]
+                    for bi, i in enumerate(g.indices):
+                        results[i] = [p[bi] for p in planes]
+                    continue
+            use_merged = (mergeable and self.mesh is None
+                          and len(batch_inputs) > 1)
             qtables = np.stack([bi["qtables"] for bi in batch_inputs])
             if use_merged:
                 # int32 position indices cap one merged decode at

@@ -94,10 +94,8 @@ class MultiHostBatchDecoder:
 
     def decode(self, local_datas: Sequence[bytes]) -> List[List[np.ndarray]]:
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from .batch import _stack
-        from ..pipeline import decode_pipeline
+        from .batch import _stack_merged_shards, _tables_shared
 
         if not local_datas:
             raise ValueError("each process must supply >= 1 image")
@@ -108,8 +106,50 @@ class MultiHostBatchDecoder:
                 "multi-host batch must share one geometry bucket; group "
                 "images by signature before calling decode")
         inputs = [build_inputs(d, p) for d, p in zip(local_datas, plans)]
-        batch_global = len(local_datas) * self._nproc
 
+        d_local = len([d for d in self.mesh.devices.flat
+                       if d.process_index == jax.process_index()])
+        merged_ok = (
+            d_local > 0 and len(local_datas) % d_local == 0
+            and all(sp.host_destuff for sp in sig.scans)
+            and all(_tables_shared([bi["scans"][s] for bi in inputs])
+                    for s in range(len(sig.scans))))
+        if merged_ok:
+            return self._decode_merged(sig, inputs, d_local,
+                                       len(local_datas))
+        return self._decode_vmapped(sig, inputs, len(local_datas))
+
+    def _decode_merged(self, sig: PlanSignature, inputs, d_local: int,
+                       n_local: int) -> List[List[np.ndarray]]:
+        """Merged-lane shard_map path: each device decodes its k local
+        images as one wide decode (the production batching formulation —
+        the vmapped pipeline lowers batched scatters catastrophically)."""
+        from .batch import _stack_merged_shards, mesh_merged_exec
+
+        merged_stacked, qt_stacked, k = _stack_merged_shards(
+            sig, inputs, d_local)
+        d_global = self.mesh.devices.size
+        dev_merged = self._stage(merged_stacked, d_global)
+        dev_qt = self._stage(qt_stacked, d_global)
+
+        key = (sig, k, self.with_idct, "mesh_merged")
+        exe = self._exec_cache.get(key)
+        if exe is None:
+            exe = mesh_merged_exec(sig, self.mesh, dev_merged, dev_qt,
+                                   self.with_idct)
+            self._exec_cache[key] = exe
+        out = exe(dev_merged, dev_qt)
+        return self._collect_local(out, n_local, per_shard=k)
+
+    def _decode_vmapped(self, sig: PlanSignature, inputs,
+                        n_local: int) -> List[List[np.ndarray]]:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .batch import _stack
+        from ..pipeline import decode_pipeline
+
+        batch_global = n_local * self._nproc
         local_scans = [_stack([bi["scans"][s] for bi in inputs])
                        for s in range(len(sig.scans))]
         local_qt = np.stack([bi["qtables"] for bi in inputs])
@@ -131,14 +171,21 @@ class MultiHostBatchDecoder:
                               self.with_idct).compile()
             self._exec_cache[key] = exe
         out = exe(dev_scans, dev_qt)
+        return self._collect_local(out, n_local)
 
-        # pull this process's shard of every plane, in local image order
-        results: List[List[np.ndarray]] = [[] for _ in local_datas]
+    def _collect_local(self, out, n_local: int,
+                       per_shard: int = 0) -> List[List[np.ndarray]]:
+        """Pull this process's shard of every plane, in local image order.
+        Merged outputs have shape (D, k, ...) per plane (per_shard=k);
+        vmapped outputs (B, ...) (per_shard=0)."""
+        results: List[List[np.ndarray]] = [[] for _ in range(n_local)]
         for plane in out:
             shards = sorted(plane.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
             rows = np.concatenate([np.asarray(s.data) for s in shards])
-            assert rows.shape[0] == len(local_datas), rows.shape
-            for i in range(len(local_datas)):
+            if per_shard:  # (D_local, k, H, W) -> (D_local*k, H, W)
+                rows = rows.reshape((-1,) + rows.shape[2:])
+            assert rows.shape[0] == n_local, rows.shape
+            for i in range(n_local):
                 results[i].append(rows[i])
         return results

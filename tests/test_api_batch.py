@@ -262,3 +262,21 @@ def test_debug_destuff_cross_check_fires(test_image, monkeypatch):
                 d.decode()
     finally:
         debug.set_debug(False)
+
+
+def test_mesh_batch_uses_merged_lane_path(test_image):
+    """On a mesh, BatchDecoder must route same-table groups through the
+    merged-lane shard_map path (one wide decode per device), not the
+    vmapped pipeline."""
+    datas = [encode(np.roll(test_image, 3 * i, axis=1),
+                    EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+             for i in range(8)]
+    mesh = make_mesh(jax.devices()[:4])
+    dec = BatchDecoder(mesh=mesh)
+    out = dec.decode(datas)
+    assert any("mesh_merged" in k for k in dec._exec_cache), \
+        list(dec._exec_cache)
+    for data, planes in zip(datas, out):
+        ref = golden.decode(data)
+        for a, b in zip(ref, planes):
+            assert np.array_equal(a, b)
