@@ -79,21 +79,21 @@ class Tuning:
         (~3x less VPU row work per symbol); "onehot" blends per-lane
         table rows and one-hot-sums them (fewer, larger ops: ~3x cheaper
         to trace/compile). Bit-identical results; "auto" selects tree on
-        TPU backends (validated on v5e 2026-08-18: sync pass 14.96 ->
+        non-CPU backends (timing evidence: v5e 2026-08-18: sync pass 14.96 ->
         9.38 ms alone, 5.42 ms with bsearch+shift) and onehot on CPU.
       category: "auto" | "mask" | "bsearch" — formulation of the
         canonical-limit code-length decode. "mask" blends per-lane limit
         rows and popcounts 15 comparisons; "bsearch" runs a branchless
         4-step lower-bound per distinct table slot with the vsm offset
         looked up on the same decision bits (~1.5x fewer vector rows).
-        Bit-identical results; "auto" selects bsearch on TPU backends
-        (validated on v5e 2026-08-18) and mask on CPU.
+        Bit-identical results; "auto" selects bsearch on non-CPU backends
+        (timing evidence: v5e 2026-08-18) and mask on CPU.
       refill: "auto" | "onehot" | "shift" — formulation of the rolling
         bit-buffer refill. "onehot" sums 8 one-hot row selections of the
         34-word window; "shift" shifts the window rows down by the
         per-lane offset with a 6-step conditional row-shift tree (~4x
         fewer vector rows). Bit-identical results; "auto" selects shift
-        on TPU backends (validated on v5e 2026-08-18: neutral alone,
+        on non-CPU backends (timing evidence: v5e 2026-08-18: neutral alone,
         but the tree+bsearch+shift combination reaches 5.42 ms sync vs
         14.96 base) and onehot on CPU.
     """

@@ -241,8 +241,10 @@ _BUF_BITS = _BUF_W * 32
 
 
 def _resolve_refill(cfg: ScanConfig) -> str:
-    """Tuning.refill. "auto" selects the row-shift tree on TPU backends
-    and the one-hot elsewhere. Validated on v5e (2026-08-18,
+    """Tuning.refill. "auto" selects the row-shift tree on non-CPU
+    backends (the timing evidence is TPU v5e; on other accelerators the
+    formulations are bit-identical, only relative speed is unmeasured)
+    and the one-hot on CPU. Validated on v5e (2026-08-18,
     scripts/sweep.py --what sync): shift alone is neutral (15.9 vs 16.0
     ms sync) but combined with hv_lookup=tree + category=bsearch the
     sync pass drops 14.96 -> 5.42 ms, so the three flip together."""
@@ -263,8 +265,8 @@ def _refill_buf(cfg: ScanConfig, ctx: _Ctx, p: jax.Array):
     vector rows per refill. Rows shifted past the window end read zero,
     which the one-hot's missed match also produced; negative and
     out-of-window offsets shift everything out and read zero the same
-    way. "auto" stays on the one-hot until the shift's Mosaic lowering is
-    validated on hardware (scripts/sweep.py)."""
+    way. "auto" resolves via _resolve_refill: shift on non-CPU backends
+    (validated on v5e 2026-08-18, scripts/sweep.py), one-hot on CPU."""
     abs_bit = ctx.seg_base_bits + p
     base = abs_bit >> 5
     w_rel = base - ctx.lane_word0 + 1  # in [0, 33] for in-window reads
@@ -407,12 +409,12 @@ def _hv_byte_onehot(cfg: ScanConfig, ctx: _Ctx, idx: jax.Array,
 
 
 def _resolve_hv_lookup(cfg: ScanConfig) -> str:
-    """Tuning.hv_lookup. "auto" selects the select tree on TPU backends
-    (validated on v5e 2026-08-18, scripts/sweep.py --what sync: tree
-    alone cuts the sync pass 14.96 -> 9.38 ms; with bsearch+shift it
-    reaches 5.42 ms) and the one-hot on CPU, where the tree's many small
-    ops triple interpret-mode trace time. Both formulations are
-    bit-identical and cross-tested."""
+    """Tuning.hv_lookup. "auto" selects the select tree on non-CPU
+    backends (timing evidence is TPU v5e, 2026-08-18, scripts/sweep.py
+    --what sync: tree alone cuts the sync pass 14.96 -> 9.38 ms; with
+    bsearch+shift it reaches 5.42 ms) and the one-hot on CPU, where the
+    tree's many small ops triple interpret-mode trace time. Both
+    formulations are bit-identical and cross-tested."""
     mode = cfg.tuning.hv_lookup
     if mode == "auto":
         return "onehot" if jax.default_backend() == "cpu" else "tree"
@@ -496,10 +498,10 @@ def _category_slow(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def _resolve_category(cfg: ScanConfig) -> str:
-    """Tuning.category. "auto" selects the binary search on TPU backends
-    (validated on v5e 2026-08-18, scripts/sweep.py --what sync: bsearch
-    alone cuts the sync pass 14.96 -> 13.13 ms; with tree+shift it
-    reaches 5.42 ms) and the mask popcount on CPU."""
+    """Tuning.category. "auto" selects the binary search on non-CPU
+    backends (timing evidence is TPU v5e, 2026-08-18, scripts/sweep.py
+    --what sync: bsearch alone cuts the sync pass 14.96 -> 13.13 ms; with
+    tree+shift it reaches 5.42 ms) and the mask popcount on CPU."""
     mode = cfg.tuning.category
     if mode == "auto":
         return "mask" if jax.default_backend() == "cpu" else "bsearch"
