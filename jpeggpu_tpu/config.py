@@ -73,6 +73,16 @@ class Tuning:
         batched f32 dot lower fine), and the stage is bound by the VPU
         one-hot build anyway (BENCH.md), so the narrow modes remain
         CPU/interpret-only test paths.
+      tile_mode: "auto" | "lane" | "super" — shape of the tile-assembly
+        stage-1 contraction (ops/write_pallas.py). "lane" builds one
+        (tile_d, 64) tile per lane with per-lane batched dots — Mosaic
+        lowers the batch as ~lanes tiny sequential MXU ops (13.7 ms on the
+        12 MP bench, v5e 2026-08-19). "super" groups super_g consecutive
+        lanes into one (128, 64) supertile per group and contracts all
+        G*128 record slots of a round in ONE unbatched dot pair
+        (byte-plane bf16, exact: every cell receives at most one record,
+        byte planes are 8-bit so bf16 holds them; measured 3.71 ms, 3.7x).
+        "auto" selects super everywhere (interpret-validated on CPU).
       hv_lookup: "auto" | "onehot" | "tree" — formulation of the symbol
         loop's huffval byte lookup. "tree" runs a binary select tree per
         distinct table slot sized to that table's static word count
@@ -108,6 +118,7 @@ class Tuning:
     entropy_backend: str = "auto"
     write_mode: str = "auto"
     tile_dot: str = "auto"
+    tile_mode: str = "auto"
     hv_lookup: str = "auto"
     category: str = "auto"
     refill: str = "auto"
@@ -125,6 +136,9 @@ class Tuning:
         if self.tile_dot not in ("auto", "f32", "bf16", "int8"):
             raise ValueError(
                 f"tile_dot must be auto|f32|bf16|int8, got {self.tile_dot!r}")
+        if self.tile_mode not in ("auto", "lane", "super"):
+            raise ValueError(
+                f"tile_mode must be auto|lane|super, got {self.tile_mode!r}")
         if self.hv_lookup not in ("auto", "onehot", "tree"):
             raise ValueError(
                 f"hv_lookup must be auto|onehot|tree, got {self.hv_lookup!r}")

@@ -57,6 +57,10 @@ _GROUP_DU = 128
 _SLAB = 32
 # compacted width of one leftover-scatter round
 _LEFTOVER_K = 512
+# supertile geometry (tile_mode="super"): rows per supertile and supertiles
+# per stage-1 kernel block
+_SUPER_D = 128
+_SUPER_SB = 8
 
 
 def _interpret() -> bool:
@@ -207,6 +211,218 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
         interpret=_interpret(),
     )(val.T, wpos.T, col(m), col(du0), col(include), iota_d_in, iota_z_in)
     return tiles
+
+
+# --- supertile path (tile_mode="super") -------------------------------------
+#
+# The per-lane tiles above lower to one small batched dot per lane per round
+# (~49K sequential MXU ops on a 12 MP image, 13.7 ms measured on v5e
+# 2026-08-19). Supertiles remove the batch dimension: super_g consecutive
+# lanes share one (_SUPER_D, 64) data-unit window anchored at the group's
+# first lane, and a whole round of G*128 record slots contracts in ONE
+# unbatched dot pair. Records are pre-interleaved in XLA to (n_st, s_cap*G)
+# rows (column = slot*G + g) because Mosaic cannot merge a (G, 128) vector
+# into a (G*128,) minor dimension in-kernel; with row-shaped chunks both
+# one-hot operands build as plain broadcasts:
+#     a_t[d, k] = (d_rel[k] == d)            (_SUPER_D, K)
+#     b_t[z, k] = (iz[k] == z) * value[k]    (64, K)
+#     tile    += a_t . b_t^T                 contract minor axes
+# The dots run as byte-plane bf16 pairs: Mosaic executes this minor-axis
+# f32 contraction at default (bf16) MXU precision, which rounds 16-bit
+# coefficients (observed +-1/+-2 errors on v5e); one-hot entries and byte
+# planes are 8-bit and therefore exact in bf16, and every output cell
+# receives at most one record, so lo/hi reconstruction is exact.
+# Measured (scripts/supertile_proto.py, v5e 2026-08-19): 3.71 ms vs 13.67
+# for the per-lane path; f32 Precision.HIGHEST is exact too but 7.47 ms.
+
+
+def _supertiles_kernel(s_cap, G, val_ref, pk_ref, m_ref, out_ref, acc_ref):
+    K = G * _ROUND_R
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (_SUPER_D, 1), 0)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+    for st in range(_SUPER_SB):
+        mmax = jnp.max(m_ref[st])
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def round_body(r):
+            p = pk_ref[st, pl.ds(r * K, K)][None, :].astype(jnp.int32)
+            v32 = val_ref[st, pl.ds(r * K, K)][None, :].astype(jnp.int32)
+            dd = jnp.where(p >= 0, p >> 6, -1)
+            zz = jnp.where(p >= 0, p & 63, -1)
+            a_t = jnp.where(dd == iota_d, 1.0, 0.0).astype(jnp.bfloat16)
+            bz = zz == iota_z
+            blo = jnp.where(bz, (v32 & 255).astype(jnp.float32),
+                            0.0).astype(jnp.bfloat16)
+            bhi = jnp.where(bz, (v32 >> 8).astype(jnp.float32),
+                            0.0).astype(jnp.bfloat16)
+            dnn = (((1,), (1,)), ((), ()))
+            tl = jax.lax.dot_general(a_t, blo, dnn,
+                                     preferred_element_type=jnp.float32)
+            th = jax.lax.dot_general(a_t, bhi, dnn,
+                                     preferred_element_type=jnp.float32)
+            acc_ref[:] += th * 256.0 + tl
+            return r + 1
+
+        jax.lax.while_loop(lambda r: r * _ROUND_R < mmax, round_body,
+                           jnp.int32(0))
+        out_ref[st] = acc_ref[:].astype(jnp.int16)
+
+
+def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int):
+    """Interleaved records -> (n_st, _SUPER_D, 64) zig-zag supertiles.
+
+    ``val_rows``/``pk_rows`` are int16[n_st, s_cap*G] with column s*G + g;
+    ``pk`` packs (d_rel << 6) | iz, -1 on inert slots. ``mmax_st`` is
+    int32[n_st, 1], the max slot count over the group's included lanes.
+    """
+    n_st, sg = val_rows.shape
+    s_cap = sg // G
+    assert n_st % _SUPER_SB == 0
+    rec_spec = pl.BlockSpec((_SUPER_SB, sg), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_supertiles_kernel, s_cap, G),
+        grid=(n_st // _SUPER_SB,),
+        in_specs=[rec_spec, rec_spec,
+                  pl.BlockSpec((_SUPER_SB, 1), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_SUPER_SB, _SUPER_D, 64),
+                               lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_st, _SUPER_D, 64), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((_SUPER_D, 64), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(val_rows, pk_rows, mmax_st)
+
+
+def _expand_super_kernel(W, q_ref, *refs):
+    cand_refs = refs[:W]
+    tile_refs = refs[W:2 * W]
+    perm_ref = refs[2 * W]
+    out_ref = refs[2 * W + 1]
+    g = pl.program_id(0)
+    j = g * _GROUP_DU + jax.lax.broadcasted_iota(
+        jnp.int32, (_GROUP_DU, 1), 0)
+    acc = jnp.zeros((_GROUP_DU, 64), jnp.float32)
+    for cand_ref, tile_ref in zip(cand_refs, tile_refs):
+        sel = jnp.where(cand_ref[:] == j, 1.0, 0.0)  # (G_DU, _SUPER_D)
+        acc += jax.lax.dot(sel, tile_ref[:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+    out_ref[:] = jax.lax.dot(
+        acc, perm_ref[:],
+        preferred_element_type=jnp.float32).astype(jnp.int16)
+
+
+def expand_supertiles(stiles, base, q, n_groups: int, W: int):
+    """Supertiles -> dense (n_groups * _GROUP_DU, 64) natural-order rows.
+
+    Output group ``g`` (128 data units) gathers the rows of supertiles
+    ``q[g] .. q[g]+W-1`` whose data unit ``base[st] + d`` falls in the
+    group; rows shared by two lanes in different supertiles sum here. The
+    in-data-unit zig-zag -> natural reorder is the same 64x64 permutation
+    matmul as the per-lane expand."""
+    n_st = stiles.shape[0]
+    stiles2d = stiles.reshape(n_st * _SUPER_D, 64)
+    cand2d = (base[:, None]
+              + jnp.arange(_SUPER_D, dtype=jnp.int32)[None, :]).reshape(
+                  1, n_st * _SUPER_D)
+    perm = np.zeros((64, 64), np.float32)
+    perm[np.arange(64), np.asarray(C.ORDER_NATURAL)] = 1.0
+
+    def cand_spec(k):
+        return pl.BlockSpec((1, _SUPER_D), lambda g, q, k=k: (0, q[g] + k),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(k):
+        return pl.BlockSpec((_SUPER_D, 64), lambda g, q, k=k: (q[g] + k, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[cand_spec(k) for k in range(W)]
+        + [tile_spec(k) for k in range(W)]
+        + [pl.BlockSpec((64, 64), lambda g, q: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_expand_super_kernel, W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
+                                       jnp.int16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q, *([cand2d] * W), *([stiles2d] * W), jnp.asarray(perm))
+
+
+def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
+    """q[g]: first supertile of output group g's W-wide gather window,
+    anchored at the first supertile whose included lanes reach the group
+    (mirrors _slab_index at supertile granularity)."""
+    n_st = base.shape[0]
+    reach = jnp.where(include, max_du, -1)
+    reach_st = jax.lax.cummax(jnp.max(reach.reshape(n_st, G), axis=1))
+    thresholds = jnp.arange(n_groups, dtype=jnp.int32) * _GROUP_DU
+    q = jnp.searchsorted(reach_st, thresholds, side="left").astype(jnp.int32)
+    return jnp.clip(q, 0, max(n_st - W, 0))
+
+
+def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int):
+    """Supertile record assembly: stage1 + expand + leftover + reorder.
+
+    Same contract as :func:`assemble_tiles`: int16[total] stream-order
+    coefficients, natural order within each data unit."""
+    s_cap, lanes = val.shape
+    assert total % C.DATA_UNIT_SIZE == 0
+    assert lanes % G == 0
+    n_st = lanes // G
+    n_du = total // C.DATA_UNIT_SIZE
+    n_groups = -(-(n_du + 2) // _GROUP_DU)
+
+    du0 = jax.lax.cummax(du0_raw)
+    unsorted = du0 != du0_raw
+    base = du0.reshape(n_st, G)[:, 0]
+    base_l = jnp.broadcast_to(base[:, None], (n_st, G)).reshape(lanes)
+    st_l = jnp.arange(lanes, dtype=jnp.int32) // G
+
+    slot = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
+    valid = (slot < m[None, :]) & (wpos >= 0)
+    du = wpos >> 6
+    max_du = jnp.max(jnp.where(valid, du, -1), axis=0)
+    span_over = (max_du - base_l) >= _SUPER_D
+    inc1 = ~(span_over | unsorted) & (m > 0)
+    q1 = _super_slab(base, max_du, inc1, G, n_groups, W)
+    g_first = jnp.clip(du0 // _GROUP_DU, 0, n_groups - 1)
+    window_over = (st_l - q1[g_first]) >= W
+    leftover = (span_over | unsorted | window_over) & (m > 0)
+    include = ~leftover & (m > 0)
+    # final q can only move windows upward; every lane that passed the q1
+    # check still fits (st - q shrinks) and q[g] <= st holds for every
+    # included lane touching g by the reach construction
+    q = _super_slab(base, max_du, include, G, n_groups, W)
+
+    d_rel = du - base_l[None, :]
+    ok = (valid & include[None, :] & (d_rel >= 0) & (d_rel < _SUPER_D))
+    pk = jnp.where(ok, (d_rel << 6) | (wpos & 63), -1).astype(jnp.int16)
+
+    def rows(x):
+        return x.reshape(s_cap, n_st, G).transpose(1, 0, 2).reshape(
+            n_st, s_cap * G)
+
+    mmax_st = jnp.max(jnp.where(include, m, 0).reshape(n_st, G),
+                      axis=1).astype(jnp.int32).reshape(n_st, 1)
+    stiles = supertiles_from_records(rows(val.astype(jnp.int16)), rows(pk),
+                                     mmax_st, G)
+    out2d = expand_supertiles(stiles, base, q, n_groups, W)
+
+    out_flat = out2d.reshape(-1)
+    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total)
+    return out_flat[:total]
 
 
 def _expand_kernel(q_ref, cand_a_ref, cand_b_ref, tile_a_ref, tile_b_ref,
@@ -391,6 +607,13 @@ def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
     return out_flat[:total]
 
 
+def resolve_tile_mode(mode: str) -> str:
+    """Tuning.tile_mode -> concrete stage-1 shape. "auto" selects the
+    supertile path everywhere: 3.7x faster than the per-lane batched dots
+    on v5e (see module notes) and interpret-validated on CPU."""
+    return "super" if mode == "auto" else mode
+
+
 def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
                        bound=None, total_out=None):
     """Drop-in for ops.huffman.decode_write using the tile-assembly path."""
@@ -405,5 +628,8 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
                     else pos_base)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
+    if resolve_tile_mode(cfg.tuning.tile_mode) == "super":
+        return assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
+                                   cfg.super_w)
     return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
                           cfg.tuning.tile_dot)

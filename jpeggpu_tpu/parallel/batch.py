@@ -237,8 +237,8 @@ def _geometry_key(sig: PlanSignature) -> PlanSignature:
         dataclasses.replace(
             sp, scan_bytes_padded=0,
             cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0,
-                                    tile_d=0, hv_rows=0,
-                                    hv_slot_rows=(0,) * 8))
+                                    tile_d=0, super_g=0, super_w=0,
+                                    hv_rows=0, hv_slot_rows=(0,) * 8))
         for sp in sig.scans)
     return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
@@ -329,7 +329,9 @@ class BatchDecoder:
                  max(prelim[i].signature.scans[s].cfg.tile_d for i in idxs),
                  max(prelim[i].signature.scans[s].cfg.hv_rows for i in idxs),
                  tuple(max(prelim[i].signature.scans[s].cfg.hv_slot_rows[t]
-                           for i in idxs) for t in range(8)))
+                           for i in idxs) for t in range(8)),
+                 min(prelim[i].signature.scans[s].cfg.super_g for i in idxs),
+                 max(prelim[i].signature.scans[s].cfg.super_w for i in idxs))
                 for s in range(nscans))
             for i in idxs:
                 plan = (prelim[i] if len(idxs) == 1

@@ -103,6 +103,17 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                   max(scan.num_subsequences, 1))
         tile_d = next((d for d in (32, 64, 96, 128)
                        if d >= 5.0 * avg_du), 128)
+        # supertile group size (tile_mode="super"): G consecutive lanes
+        # share one 128-row data-unit window; target ~70% typical fill so
+        # span outliers still fit (the rest drain through the leftover
+        # scatter). Power of two for lane-bucket divisibility.
+        super_g = 2
+        while super_g < 32 and (2 * super_g) * avg_du <= 90.0:
+            super_g *= 2
+        # expand window: supertiles per 128-du output group, sized to the
+        # typical group extent plus boundary slack
+        super_w = min(max(-(-128 // max(int(super_g * avg_du), 1)) + 2, 3),
+                      6)
         # packed-huffval one-hot rows: longest used table, bucketed to a
         # multiple of 8 words (canonical AC tables: 162 symbols -> 48)
         hv_rows = max((t.num_symbols for t in scan.huff_tables),
@@ -126,6 +137,12 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             if len(pad_scans[si]) > 4:
                 slot_rows = [max(a, b) for a, b in
                              zip(slot_rows, pad_scans[si][4])]
+            if len(pad_scans[si]) > 5:
+                # smaller G is always safe (more supertiles, less span
+                # overflow), so a mixed group takes the min
+                super_g = min(super_g, pad_scans[si][5])
+            if len(pad_scans[si]) > 6:
+                super_w = max(super_w, pad_scans[si][6])
         slot_rows = [min(r, hv_rows) for r in slot_rows]
         comps = []
         for sc in scan.components:
@@ -155,6 +172,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             comp_groups=tuple(comp_groups),
             fast_tables=fast_tables,
             tile_d=tile_d,
+            super_g=super_g,
+            super_w=super_w,
             hv_rows=hv_rows,
             hv_slot_rows=tuple(slot_rows),
             tuning=tuning,

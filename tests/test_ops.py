@@ -269,14 +269,17 @@ def test_write_matmul_garbage_stream(test_image):
     EncodeSpec(sampling=[(2, 1), (1, 1), (1, 1)], restart_interval=5,
                quality=95),
 ])
-def test_write_tiles_matches_golden(test_image, spec):
+@pytest.mark.parametrize("tile_mode", ["lane", "super"])
+def test_write_tiles_matches_golden(test_image, spec, tile_mode):
     """The Pallas MXU tile-assembly write path (interpret mode on CPU) is
-    bit-identical to the golden decoder."""
+    bit-identical to the golden decoder, in both the per-lane and the
+    supertile stage-1 shapes."""
     from jpeggpu_tpu.config import Tuning
     from jpeggpu_tpu.pipeline import decode_jpeg_device
 
     data = encode(test_image, spec)
-    plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles"))
+    plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles",
+                                                 tile_mode=tile_mode))
     d = decode_jpeg_device(data, plan=plan)
     g = golden.decode(data)
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
@@ -296,10 +299,13 @@ def test_write_tiles_garbage_stream(test_image):
     body = rng.integers(0, 255, scan.end - scan.begin, dtype=np.uint8)
     body[body == 0xFF] = 0x7F
     garbled = data[:scan.begin] + body.tobytes() + data[scan.end:]
-    plan = build_plan(parse(garbled), tuning=Tuning(write_mode="tiles"))
-    d = decode_jpeg_device(garbled, plan=plan)
-    g = golden.decode(garbled)
-    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+    for tile_mode in ("lane", "super"):
+        plan = build_plan(parse(garbled),
+                          tuning=Tuning(write_mode="tiles",
+                                        tile_mode=tile_mode))
+        d = decode_jpeg_device(garbled, plan=plan)
+        g = golden.decode(garbled)
+        assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
 def test_write_tiles_leftover_lanes():
@@ -316,10 +322,12 @@ def test_write_tiles_leftover_lanes():
     scan = stream.scans[0]
     assert (scan.total_data_units / scan.num_subsequences
             > write_pallas._TILE_D)
-    plan = build_plan(stream, tuning=Tuning(write_mode="tiles"))
-    d = decode_jpeg_device(data, plan=plan)
-    g = golden.decode(data)
-    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+    for tile_mode in ("lane", "super"):
+        plan = build_plan(stream, tuning=Tuning(write_mode="tiles",
+                                                tile_mode=tile_mode))
+        d = decode_jpeg_device(data, plan=plan)
+        g = golden.decode(data)
+        assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
 @pytest.mark.parametrize("spec", [
