@@ -63,6 +63,23 @@ def _time_loop(run_once, iters, warmup=2):
     return _stats(times)
 
 
+def _roofline(stream, mps):
+    """Bandwidth implied by an MP/s number, as a fraction of hardware
+    limits (VERDICT r2 #9): entropy-stream bytes/s (what the bit-serial
+    Huffman stages chew through) and coefficient bytes/s (the int16 DCT
+    stream the write/IDCT stages move, >= one HBM write + read)."""
+    from jpeggpu_tpu.pipeline import build_plan
+
+    mp = stream.size_x * stream.size_y / 1e6
+    entropy_b = sum(s.end - s.begin for s in stream.scans)
+    # coefficient bytes: one int16 per DCT position over all scan components
+    plan = build_plan(stream)
+    coeff_b = sum(sp.cfg.total_positions * 2 for sp in plan.signature.scans)
+    img_s = mps / mp
+    return dict(entropy_gbs=round(entropy_b * img_s / 1e9, 3),
+                coeff_gbs=round(coeff_b * img_s / 1e9, 3))
+
+
 def _prepare(data):
     import jax
 
@@ -211,9 +228,12 @@ def bench_batch(iters, batch=8):
 
     s = _time_loop(run_once, iters)
     per_img_ms = s["med_ms"] / batch
+    roof = _roofline(stream, mp / (per_img_ms / 1e3))
     print(f"batch B={batch} merged: {1e3 / per_img_ms:.2f} img/s, "
-          f"{mp / (per_img_ms / 1e3):.1f} MP/s/chip, "
-          f"batch latency avg {s['avg_ms']:.1f} / max {s['max_ms']:.1f} ms",
+          f"{mp / (per_img_ms / 1e3):.1f} MP/s/chip "
+          f"(entropy {roof['entropy_gbs']} GB/s, coeff {roof['coeff_gbs']} "
+          f"GB/s), batch latency avg {s['avg_ms']:.1f} / "
+          f"max {s['max_ms']:.1f} ms",
           file=sys.stderr, flush=True)
     return dict(batch=batch, mp=mp, per_img_ms=per_img_ms,
                 mps=mp / (per_img_ms / 1e3), **s)
@@ -241,7 +261,10 @@ def main():
     if "--all" in sys.argv:
         bench_all(iters)
     if "--batch" in sys.argv:
-        bench_batch(iters)
+        b = 8
+        if "--batch-size" in sys.argv:
+            b = int(sys.argv[sys.argv.index("--batch-size") + 1])
+        bench_batch(iters, batch=b)
 
     data = open(IMAGE, "rb").read()
     if "--e2e" in sys.argv:
@@ -254,11 +277,14 @@ def main():
         print(f"single: {s['img_s']:.2f} img/s, avg {s['avg_ms']:.1f} ms, "
               f"max {s['max_ms']:.1f} ms, {s['mps']:.1f} MP/s",
               file=sys.stderr, flush=True)
+        from jpeggpu_tpu.reader import parse
+
         print(json.dumps({
             "metric": "decode_throughput_12mp_single_dispatch",
             "value": round(s["mps"], 2),
             "unit": "MP/s/chip",
             "vs_baseline": round(s["mps"] / BASELINE_MPS, 4),
+            **_roofline(parse(data), s["mps"]),
         }))
         return 0
 
@@ -276,6 +302,9 @@ def main():
     s = _bench_pipelined(data, iters=iters)
     print(f"pipelined stream: {s['img_s']:.2f} img/s, {s['mps']:.1f} MP/s",
           file=sys.stderr, flush=True)
+    from jpeggpu_tpu.reader import parse
+
+    roof = _roofline(parse(data), s["mps"])
     print(json.dumps({
         "metric": "decode_throughput_12mp_stream",
         "value": round(s["mps"], 2),
@@ -283,6 +312,7 @@ def main():
         "vs_baseline": round(s["mps"] / BASELINE_MPS, 4),
         "single_dispatch_avg_ms": round(lat["avg_ms"], 2),
         "single_dispatch_max_ms": round(lat["max_ms"], 2),
+        **roof,
     }))
 
 

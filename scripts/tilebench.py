@@ -1,26 +1,32 @@
-"""Micro-benchmark variants of the tile-assembly stage1 kernel.
+"""Micro-benchmark of the coefficient-write assembly stage (one script,
+probe-selectable — consolidates the former tilebench1..6 investigation).
 
-Stage1 (write_pallas.tiles_from_records) turns dense (slot, lane) records
-into per-lane (tile_d, 64) data-unit tiles with batched one-hot MXU
-contractions; it dominates the coefficient write (~2/3 of the stage, see
-BENCH.md). This harness times isolated variants on synthetic records with
-bench-image-like density to find the binding resource:
+Times isolated assembly formulations on synthetic records with
+bench-image-like density (~200 records/lane, ~13 DU span). Probes:
 
-    base          the production kernel (f32 one-hots, f32 dot)
-    build_only    one-hot builds + jnp.sum reduction, no dot (is the MXU
-                  the bound, or the VPU build?)
-    int8          int8 one-hots, value split into lo/hi bytes, int32 dots
-    bf16          bf16 one-hots, value split hi/lo, f32 accumulation
-    tile_d=K      the production kernel at smaller/larger tile depth
-    notranspose   production kernel fed pre-transposed (lane-major) arrays
-                  (how much do the val.T/wpos.T XLA relayouts cost?)
+    --probe lane     production per-lane path (assemble_tiles) at tile_d
+                     96 and 64: one small batched one-hot dot per lane
+                     per round
+    --probe super    production supertile path (assemble_supertiles):
+                     G lanes share one (128, 64) tile, one unbatched
+                     byte-plane bf16 dot pair per round
+    --probe decomp   cost decomposition of the per-lane kernel: full f32
+                     round body vs one-hot builds consumed WITHOUT the
+                     dot (is the bound the VPU build or the MXU dot?)
 
-Usage: python scripts/tilebench.py [--iters N]
+Conclusions of the retired probe generations (full chain in BENCH.md
+"Tile-assembly investigation"): the per-lane batched dot runs ~1% of MXU
+peak because Mosaic serializes the batch dim; narrow-dtype (int8/bf16)
+batched forms either fail to lower or relayout; record-slice dynamism,
+accumulator dtype, and tile depth are all immaterial. The supertile path
+(ONE unbatched dot pair per round, records pre-interleaved in XLA) is the
+fix: 3.71 ms vs 13.67 ms on the 12 MP bench records (v5e 2026-08-19).
+
+Usage: python scripts/tilebench.py [--probe lane|super|decomp] [--iters N]
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -59,7 +65,8 @@ def synth_records(lanes=24576, s_cap=1280, sym_per_lane=200, du_span=13,
     pos = du0[None, :] * 64 + np.cumsum(step, axis=0)
     val[live] = rng.integers(-1024, 1024, (s_cap, lanes))[live]
     wpos[live] = pos[live]
-    return val, wpos, m, du0
+    total = int((du0[-1] + du_span + 4)) * 64
+    return val, wpos, m, du0, total
 
 
 def main() -> int:
@@ -73,16 +80,18 @@ def main() -> int:
     iters = 10
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    probe = "lane"
+    if "--probe" in sys.argv:
+        probe = sys.argv[sys.argv.index("--probe") + 1]
 
-    val, wpos, m, du0 = synth_records()
+    val, wpos, m, du0, total = synth_records()
     lanes, s_cap = val.shape[1], val.shape[0]
     inc = np.ones(lanes, bool)
     inp = jax.device_put({
         "val": jnp.asarray(val), "wpos": jnp.asarray(wpos),
-        "valT": jnp.asarray(val.T), "wposT": jnp.asarray(wpos.T),
         "m": jnp.asarray(m), "du0": jnp.asarray(du0),
         "inc": jnp.asarray(inc)})
-    out = {"lanes": lanes, "s_cap": s_cap, "iters": iters,
+    out = {"lanes": lanes, "s_cap": s_cap, "iters": iters, "probe": probe,
            "backend": jax.default_backend()}
 
     def compile_probe(fn):
@@ -117,124 +126,90 @@ def main() -> int:
               f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
 
-    TD = 96
-    R = 128
-    WL = 64
+    if probe == "lane":
+        slope("stage1_d96_ms", lambda i, v: WP.tiles_from_records(
+            v, i["wpos"], i["m"], i["du0"], i["inc"], 96))
+        slope("stage1_d64_ms", lambda i, v: WP.tiles_from_records(
+            v, i["wpos"], i["m"], i["du0"], i["inc"], 64))
+        slope("assemble_lane_ms", lambda i, v: WP.assemble_tiles(
+            v, i["wpos"], i["m"], i["du0"], total, 96, "f32"))
 
-    def s_base(i, v):
-        return WP.tiles_from_records(v, i["wpos"], i["m"], i["du0"],
-                                     i["inc"], TD)
+    elif probe == "super":
+        slope("assemble_super_ms", lambda i, v: WP.assemble_supertiles(
+            v, i["wpos"], i["m"], i["du0"], total, 8, 4))
+        slope("assemble_lane_ms", lambda i, v: WP.assemble_tiles(
+            v, i["wpos"], i["m"], i["du0"], total, 96, "f32"))
 
-    def s_base64(i, v):
-        return WP.tiles_from_records(v, i["wpos"], i["m"], i["du0"],
-                                     i["inc"], 64)
+    elif probe == "decomp":
+        # per-lane round body with and without the dot: if build-only ~= full,
+        # the VPU one-hot build is the bound, not the MXU contraction
+        TD, R, WL = 96, 128, 64
 
-    # ---- variant kernels ----------------------------------------------
-    def make_variant(mode, tile_d=TD):
-        def kern(valT_ref, wposT_ref, m_ref, du0_ref, tiles_out, acc_ref):
-            mv = m_ref[:, 0]
-            mmax = jnp.max(mv)
-            du0v = du0_ref[:, 0]
-            iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_d), 2)
-            iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+        def make_variant(with_dot):
+            def kern(valT_ref, wposT_ref, m_ref, du0_ref, tiles_out, acc_ref):
+                mv = m_ref[:, 0]
+                mmax = jnp.max(mv)
+                du0v = du0_ref[:, 0]
+                iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TD), 2)
+                iota_z = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+                iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            def round_body(r):
-                v = valT_ref[:, pl.ds(r * R, R)].astype(jnp.int32)
-                w = wposT_ref[:, pl.ds(r * R, R)]
-                slot = r * R + iota_s
-                valid = (slot < mv[:, None, None]) & (w[:, :, None] >= 0)
-                d_rel = (w >> 6) - du0v[:, None]
-                iz = w & 63
-                valid = valid & (d_rel[:, :, None] >= 0) \
-                    & (d_rel[:, :, None] < tile_d)
-                ad = (d_rel[:, :, None] == iota_d) & valid
-                bz = iz[:, :, None] == iota_z
-                if mode == "build_only":
+                def round_body(r):
+                    v = valT_ref[:, pl.ds(r * R, R)].astype(jnp.int32)
+                    w = wposT_ref[:, pl.ds(r * R, R)]
+                    slot = r * R + iota_s
+                    valid = (slot < mv[:, None, None]) & (w[:, :, None] >= 0)
+                    d_rel = (w >> 6) - du0v[:, None]
+                    iz = w & 63
+                    valid = valid & (d_rel[:, :, None] >= 0) \
+                        & (d_rel[:, :, None] < TD)
+                    ad = (d_rel[:, :, None] == iota_d) & valid
+                    bz = iz[:, :, None] == iota_z
                     a = jnp.where(ad, 1.0, 0.0)
                     b = jnp.where(bz, v[:, :, None].astype(jnp.float32), 0.0)
-                    acc_ref[:] += (jnp.sum(a, axis=1)[:, :, None]
-                                   + jnp.sum(b, axis=1)[:, None, :])
-                elif mode == "int8":
-                    a = jnp.where(ad, jnp.int8(1), jnp.int8(0))
-                    lo = jnp.where(bz, (v & 0xFF)[:, :, None].astype(jnp.int8),
-                                   jnp.int8(0))
-                    hi = jnp.where(bz, (v >> 8)[:, :, None].astype(jnp.int8),
-                                   jnp.int8(0))
-                    dn = (((1,), (1,)), ((0,), (0,)))
-                    tl = jax.lax.dot_general(
-                        a, lo, dn, preferred_element_type=jnp.int32)
-                    th = jax.lax.dot_general(
-                        a, hi, dn, preferred_element_type=jnp.int32)
-                    # each cell receives at most one term, so tl is the one
-                    # signed-wrapped lo byte: unwrap with & 0xFF
-                    acc_ref[:] += (th << 8) + (tl & 0xFF)
-                elif mode == "bf16":
-                    a = jnp.where(ad, 1.0, 0.0).astype(jnp.bfloat16)
-                    vf = v[:, :, None]
-                    lo = jnp.where(bz, (vf & 0xFF).astype(jnp.bfloat16), 0)
-                    hi = jnp.where(bz, (vf >> 8).astype(jnp.bfloat16), 0)
-                    dn = (((1,), (1,)), ((0,), (0,)))
-                    tl = jax.lax.dot_general(
-                        a, lo, dn, preferred_element_type=jnp.float32)
-                    th = jax.lax.dot_general(
-                        a, hi, dn, preferred_element_type=jnp.float32)
-                    acc_ref[:] += tl + th * 256.0
-                else:  # f32 (the production formulation)
-                    a = jnp.where(ad, 1.0, 0.0)
-                    b = jnp.where(bz, v[:, :, None].astype(jnp.float32), 0.0)
-                    acc_ref[:] += jax.lax.dot_general(
-                        a, b, (((1,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-                return r + 1
+                    if with_dot:
+                        acc_ref[:] += jax.lax.dot_general(
+                            a, b, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        acc_ref[:] += (jnp.sum(a, axis=1)[:, :, None]
+                                       + jnp.sum(b, axis=1)[:, None, :])
+                    return r + 1
 
-            jax.lax.while_loop(lambda r: r * R < mmax, round_body,
-                               jnp.int32(0))
-            tiles_out[:] = acc_ref[:].astype(jnp.int16)
+                jax.lax.while_loop(lambda r: r * R < mmax, round_body,
+                                   jnp.int32(0))
+                tiles_out[:] = acc_ref[:].astype(jnp.int16)
 
-        acc_dt = jnp.int32 if mode == "int8" else jnp.float32
-        acc_shape = ((WL, tile_d, 64) if mode != "build_only"
-                     else (WL, tile_d, 64))
+            def call(valT, wposT, mv, du0v):
+                col_spec = pl.BlockSpec((WL, 1), lambda b: (b, 0),
+                                        memory_space=pltpu.VMEM)
+                rec_spec = pl.BlockSpec((WL, s_cap), lambda b: (b, 0),
+                                        memory_space=pltpu.VMEM)
+                return pl.pallas_call(
+                    kern,
+                    grid=(lanes // WL,),
+                    in_specs=[rec_spec, rec_spec, col_spec, col_spec],
+                    out_specs=pl.BlockSpec((WL, TD, 64), lambda b: (b, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((lanes, TD, 64), jnp.int16),
+                    scratch_shapes=[pltpu.VMEM((WL, TD, 64), jnp.float32)],
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                )(valT, wposT, mv.reshape(-1, 1), du0v.reshape(-1, 1))
 
-        def call(valT, wposT, mv, du0v):
-            grid = (lanes // WL,)
-            col_spec = pl.BlockSpec((WL, 1), lambda b: (b, 0),
-                                    memory_space=pltpu.VMEM)
-            rec_spec = pl.BlockSpec((WL, s_cap), lambda b: (b, 0),
-                                    memory_space=pltpu.VMEM)
-            return pl.pallas_call(
-                kern,
-                grid=grid,
-                in_specs=[rec_spec, rec_spec, col_spec, col_spec],
-                out_specs=pl.BlockSpec((WL, tile_d, 64), lambda b: (b, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((lanes, tile_d, 64),
-                                               jnp.int16),
-                scratch_shapes=[pltpu.VMEM(acc_shape, acc_dt)],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-            )(valT, wposT, mv.reshape(-1, 1), du0v.reshape(-1, 1))
+            return call
 
-        return call
+        full = make_variant(True)
+        build = make_variant(False)
+        slope("full_f32_ms",
+              lambda i, v: full(v.T, i["wpos"].T, i["m"], i["du0"]))
+        slope("build_only_ms",
+              lambda i, v: build(v.T, i["wpos"].T, i["m"], i["du0"]))
 
-    def s_variant(mode, tile_d=TD, pre_t=False):
-        call = make_variant(mode, tile_d)
-
-        def f(i, v):
-            if pre_t:
-                return call(i["valT"], i["wposT"], i["m"], i["du0"])
-            return call(v.T, i["wpos"].T, i["m"], i["du0"])
-        return f
-
-    slope("base96_ms", s_base)
-    slope("base64_ms", s_base64)
-    slope("f32_ms", s_variant("f32"))
-    slope("f32_noT_ms", s_variant("f32", pre_t=True))
-    slope("build_only_ms", s_variant("build_only"))
-    slope("int8_ms", s_variant("int8"))
-    slope("bf16_ms", s_variant("bf16"))
-    slope("int8_d64_ms", s_variant("int8", tile_d=64))
+    else:
+        print(f"unknown probe {probe!r}", file=sys.stderr)
+        return 2
 
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}))
