@@ -734,7 +734,8 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
-                frontier_width: int | None = None, diag: bool = False):
+                frontier_width: int | None = None, diag: bool = False,
+                entry=None):
     """Fixed-point synchronization of subsequence decoder states.
 
     Round 0 decodes every subsequence speculatively ("blind"); round 1
@@ -745,6 +746,12 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     fixed `frontier_width` set so long chains cost narrow rounds instead of
     full-width passes; if a frontier ever exceeds the width, that round
     falls back to a full-width pass.
+
+    ``entry``, if given, is a ``(p, c, z)`` scalar tuple used as lane 0's
+    predecessor state when lane 0 is not a segment first — the cross-shard
+    boundary state of subsequence-sharded decode (parallel/segments.py),
+    segment-relative like every decoder state so it transfers between
+    shards unchanged.
 
     Returns converged (p, c, z, n) per subsequence: the state *after*
     decoding subsequence i, with n the per-subsequence symbol count.
@@ -758,7 +765,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     p, c, z, n = _decode_subseq_pass(cfg, arrs, ctx, blind_p, zeros, zeros,
                                      ctx.lane_valid)
-    if cfg.num_subseq <= 1:
+    if cfg.num_subseq <= 1 and entry is None:
         if diag:
             return p, c, z, n, jnp.int32(0), jnp.int32(0)
         return p, c, z, n
@@ -768,6 +775,11 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         sp = jnp.where(ctx.first_of_seg, blind_p, jnp.roll(p, 1))
         sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
         sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+        if entry is not None:
+            use = ~ctx.first_of_seg[0]
+            sp = sp.at[0].set(jnp.where(use, entry[0], sp[0]))
+            sc = sc.at[0].set(jnp.where(use, entry[1], sc[0]))
+            sz = sz.at[0].set(jnp.where(use, entry[2], sz[0]))
         return sp, sc, sz
 
     def freeze(p2, c2, z2, n2):
@@ -804,6 +816,14 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     Kc = cfg.tuning.head_width or max(1, K // F)
     Kc = min(Kc, lanes, K)
 
+    # lanes eligible for the frontier; lane 0's predecessor is the fixed
+    # `entry` (never changes within one call), so it never re-enters — and
+    # the roll wrap from the last lane must not drag it in
+    frontier_ok = ~ctx.first_of_seg & ctx.lane_valid
+    if entry is not None:
+        frontier_ok = frontier_ok & (
+            jnp.arange(lanes, dtype=jnp.int32) > 0)
+
     # Phase A: full-width rounds while the mis-synced frontier exceeds the
     # compaction budget K (compaction at that scale costs more in
     # nonzero/gather than the pass it saves).
@@ -814,7 +834,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     def full_cond(state):
         p, c, z, n, delta, it = state
-        frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+        frontier = jnp.roll(delta, 1) & frontier_ok
         return (jnp.sum(frontier.astype(jnp.int32)) > K) & (it < lanes)
 
     p, c, z, n, delta, it0 = jax.lax.while_loop(
@@ -847,6 +867,11 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         gctx = gather_ctx(ctx, idx2c.T.reshape(-1), ok.T.reshape(-1))
         prevh = jnp.clip(headc - 1, 0, lanes - 1)
         sp, sc, sz = p[prevh], c[prevh], z[prevh]
+        if entry is not None:
+            at0 = headc == 0
+            sp = jnp.where(at0, entry[0], sp)
+            sc = jnp.where(at0, entry[1], sc)
+            sz = jnp.where(at0, entry[2], sz)
         changed = alive  # heads always re-decode (their pred changed)
         act_l, new_l, mark_l = [], [], []
         for f in range(follow):
@@ -893,7 +918,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     # Tier 1 (wide): ONE global compaction yields up to K chain heads;
     # each round advances its own heads locally — no full-width
     # nonzero/roll/delta scatters per round.
-    frontier = jnp.roll(delta, 1) & ~ctx.first_of_seg & ctx.lane_valid
+    frontier = jnp.roll(delta, 1) & frontier_ok
     head = jnp.nonzero(frontier, size=K,
                        fill_value=lanes)[0].astype(jnp.int32)
 
@@ -990,10 +1015,27 @@ def _make_write_round(cfg: ScanConfig, arrs: ScanArrays, cctx: _Ctx, bound,
     return round_body
 
 
+def write_start_states(ctx: _Ctx, p, c, z, entry=None):
+    """Per-lane start states for the writing decode: lane i continues from
+    lane i-1's synced end state; segment firsts restart from zero. With
+    ``entry`` (subsequence-sharded decode), lane 0 of a shard that begins
+    mid-segment starts from the previous shard's boundary state instead of
+    the roll wrap."""
+    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
+    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
+    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    if entry is not None:
+        use = ~ctx.first_of_seg[0]
+        sp = sp.at[0].set(jnp.where(use, entry[0], sp[0]))
+        sc = sc.at[0].set(jnp.where(use, entry[1], sc[0]))
+        sz = sz.at[0].set(jnp.where(use, entry[2], sz[0]))
+    return sp, sc, sz
+
+
 def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
                  chunk: int | None = None, straggler_width: int | None = None,
                  pos_base=None, bound=None,
-                 total_out: int | None = None) -> jax.Array:
+                 total_out: int | None = None, entry=None) -> jax.Array:
     """Final writing decode: re-decode every subsequence once from its synced
     start state, scattering nonzero coefficients zig-zag->natural into the
     stream-order coefficient buffer (decode_write, decode_huffman.cu:627-682).
@@ -1020,9 +1062,7 @@ def decode_write(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z, n_off,
         bound_full = bound
 
     # start states: lane 0 of each segment decodes from scratch
-    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
-    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
-    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    sp, sc, sz = write_start_states(ctx, p, c, z, entry)
     pos0 = seg_pos_base + n_off
 
     out = jnp.zeros(total + 1, jnp.int16)  # +1: slot `total` absorbs drops
@@ -1124,7 +1164,7 @@ def _emit_cap(chunk: int) -> int:
 
 def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
                       n_off, pos_base=None, bound=None,
-                      total_out: int | None = None):
+                      total_out: int | None = None, entry=None):
     """Writing decode, dense-emission form.
 
     Returns ``(val, wpos, m)``: ``val[s, l]``/``wpos[s, l]`` are the value and
@@ -1148,9 +1188,7 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
     else:
         bound_full = bound
 
-    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
-    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
-    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    sp, sc, sz = write_start_states(ctx, p, c, z, entry)
     pos0 = seg_pos_base + n_off
 
     if _resolve_entropy_backend(cfg) == "pallas":
@@ -1304,6 +1342,20 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
         ctx = make_ctx(cfg, arrs, num_subseq=num_subseq)
         p, c, z, n = sync_states(cfg, arrs, ctx)
         n_off = symbol_offsets(cfg, arrs, n)
+    return decode_scan_from_states(cfg, arrs, ctx, p, c, z, n_off,
+                                   pos_base=pos_base, bound=bound,
+                                   total_out=total_out)
+
+
+def decode_scan_from_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
+                            p, c, z, n_off, *, pos_base=None, bound=None,
+                            total_out: int | None = None,
+                            entry=None) -> jax.Array:
+    """Writing decode from already-synced states: the write-stage dispatch
+    of :func:`decode_scan`, callable with externally converged (p, c, z)
+    and symbol offsets (subsequence-sharded decode syncs across shards
+    first; parallel/segments.py). ``entry`` is the cross-shard boundary
+    start state for a lane 0 that begins mid-segment."""
     mode = _resolve_write_mode(cfg)
     with jax.named_scope(f"jpeggpu.write.{mode}"):
         if mode == "tiles":
@@ -1311,19 +1363,19 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
 
             return write_pallas.decode_write_tiles(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
-                bound=bound, total_out=total_out)
+                bound=bound, total_out=total_out, entry=entry)
         if mode == "fused":
             from . import huffman_pallas
 
             return huffman_pallas.decode_write_fused(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
-                bound=bound, total_out=total_out)
+                bound=bound, total_out=total_out, entry=entry)
         if mode == "matmul":
             total = cfg.total_positions if total_out is None else total_out
             val, wpos, m = decode_write_emit(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
-                bound=bound, total_out=total_out)
+                bound=bound, total_out=total_out, entry=entry)
             return assemble_coefficients(val, wpos, m, total)
         return decode_write(cfg, arrs, ctx, p, c, z, n_off,
                             pos_base=pos_base, bound=bound,
-                            total_out=total_out)
+                            total_out=total_out, entry=entry)

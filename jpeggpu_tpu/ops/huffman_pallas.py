@@ -379,7 +379,7 @@ def _write_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
 
 
 def decode_write_fused(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
-                       bound=None, total_out=None):
+                       bound=None, total_out=None, entry=None):
     """Fused writing decode: VMEM du-window accumulation + windowed scatter.
 
     Drop-in for ops.huffman.decode_write on TPU. Returns
@@ -396,9 +396,7 @@ def decode_write_fused(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
     else:
         bound_full = bound
 
-    sp = jnp.where(ctx.first_of_seg, 0, jnp.roll(p, 1))
-    sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
-    sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+    sp, sc, sz = H.write_start_states(ctx, p, c, z, entry)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
     active0 = ctx.lane_valid & (pos0 < bound_full)

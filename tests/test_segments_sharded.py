@@ -49,6 +49,53 @@ def test_sharded_requires_enough_segments(test_image):
         plan_shards(plan, 8)
 
 
+def test_sharded_subseq_no_restart():
+    """A restart-free image (one giant segment) shards at subsequence
+    granularity with cross-shard boundary sync."""
+    img = _big_image(seed=7, w=320, h=240)
+    data = encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    assert parse(data).scans[0].num_segments == 1
+    mesh = make_mesh(jax.devices()[:8], axis_name="seg")
+    out = decode_sharded(data, mesh)
+    ref = golden.decode(data)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_subseq_few_segments():
+    """2 segments across 8 devices: segment boundaries fall inside shards
+    (both cross-shard seams and in-shard segment resets exercised)."""
+    img = _big_image(seed=11, w=320, h=160)[..., 0]
+    scan0 = parse(encode(img)).scans[0]
+    # restart interval of half the MCUs -> exactly 2 segments
+    ri = -(-scan0.num_mcus // 2)
+    data = encode(img, EncodeSpec(restart_interval=ri))
+    assert parse(data).scans[0].num_segments == 2
+    mesh = make_mesh(jax.devices()[:8], axis_name="seg")
+    out = decode_sharded(data, mesh)
+    ref = golden.decode(data)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_multiscan_noninterleaved():
+    """A 4-scan non-interleaved image decodes scan-by-scan on the mesh
+    (VERDICT r2 #6); restart-free scans take the subsequence path."""
+    rng = np.random.default_rng(13)
+    planes = [np.asarray(_big_image(seed=17 + i, w=256, h=192)[..., 0])
+              for i in range(4)]
+    del rng
+    data = encode(planes, EncodeSpec(sampling=[(1, 1)] * 4,
+                                     interleaved=False))
+    stream = parse(data)
+    assert len(stream.scans) == 4
+    mesh = make_mesh(jax.devices()[:8], axis_name="seg")
+    out = decode_sharded(data, mesh)
+    ref = golden.decode(data)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
 def test_shard_partition_covers_everything():
     img = _big_image(seed=5)
     data = encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
