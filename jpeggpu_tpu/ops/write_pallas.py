@@ -372,11 +372,20 @@ def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
     return jnp.clip(q, 0, max(n_st - W, 0))
 
 
-def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int):
+def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
+                        s_trim: int = 512):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
-    coefficients, natural order within each data unit."""
+    coefficients, natural order within each data unit.
+
+    ``s_trim`` statically trims the record slot axis before the interleave
+    and stage-1 contraction: the emit buffer is sized for the 1-bit-code
+    worst case (~1280 slots, ops/huffman._emit_cap) but real content fills
+    ~250 (BENCH.md mdist), so the prep/interleave would move 2.5-5x dead
+    slots. Lanes whose slot count exceeds the trim drain through the
+    leftover scatter with their full record lists — exactness does not
+    depend on the trim."""
     s_cap, lanes = val.shape
     assert total % C.DATA_UNIT_SIZE == 0
     assert lanes % G == 0
@@ -384,22 +393,27 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int):
     n_du = total // C.DATA_UNIT_SIZE
     n_groups = -(-(n_du + 2) // _GROUP_DU)
 
+    S = min(s_trim, s_cap)
+    assert S % _ROUND_R == 0, S  # stage-1 round reads must not overrun
+    val_t, wpos_t = val[:S], wpos[:S]
+    over_trim = m > S
+
     du0 = jax.lax.cummax(du0_raw)
     unsorted = du0 != du0_raw
     base = du0.reshape(n_st, G)[:, 0]
     base_l = jnp.broadcast_to(base[:, None], (n_st, G)).reshape(lanes)
     st_l = jnp.arange(lanes, dtype=jnp.int32) // G
 
-    slot = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
-    valid = (slot < m[None, :]) & (wpos >= 0)
-    du = wpos >> 6
+    slot = jnp.arange(S, dtype=jnp.int32)[:, None]
+    valid = (slot < m[None, :]) & (wpos_t >= 0)
+    du = wpos_t >> 6
     max_du = jnp.max(jnp.where(valid, du, -1), axis=0)
     span_over = (max_du - base_l) >= _SUPER_D
-    inc1 = ~(span_over | unsorted) & (m > 0)
+    inc1 = ~(span_over | unsorted | over_trim) & (m > 0)
     q1 = _super_slab(base, max_du, inc1, G, n_groups, W)
     g_first = jnp.clip(du0 // _GROUP_DU, 0, n_groups - 1)
     window_over = (st_l - q1[g_first]) >= W
-    leftover = (span_over | unsorted | window_over) & (m > 0)
+    leftover = (span_over | unsorted | window_over | over_trim) & (m > 0)
     include = ~leftover & (m > 0)
     # final q can only move windows upward; every lane that passed the q1
     # check still fits (st - q shrinks) and q[g] <= st holds for every
@@ -408,16 +422,16 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int):
 
     d_rel = du - base_l[None, :]
     ok = (valid & include[None, :] & (d_rel >= 0) & (d_rel < _SUPER_D))
-    pk = jnp.where(ok, (d_rel << 6) | (wpos & 63), -1).astype(jnp.int16)
+    pk = jnp.where(ok, (d_rel << 6) | (wpos_t & 63), -1).astype(jnp.int16)
 
     def rows(x):
-        return x.reshape(s_cap, n_st, G).transpose(1, 0, 2).reshape(
-            n_st, s_cap * G)
+        return x.reshape(S, n_st, G).transpose(1, 0, 2).reshape(
+            n_st, S * G)
 
     mmax_st = jnp.max(jnp.where(include, m, 0).reshape(n_st, G),
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
-    stiles = supertiles_from_records(rows(val.astype(jnp.int16)), rows(pk),
-                                     mmax_st, G)
+    stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
+                                     rows(pk), mmax_st, G)
     out2d = expand_supertiles(stiles, base, q, n_groups, W)
 
     out_flat = out2d.reshape(-1)
@@ -615,14 +629,14 @@ def resolve_tile_mode(mode: str) -> str:
 
 
 def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
-                       bound=None, total_out=None):
+                       bound=None, total_out=None, entry=None):
     """Drop-in for ops.huffman.decode_write using the tile-assembly path."""
     from . import huffman as H
 
     total = cfg.total_positions if total_out is None else total_out
     val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off,
                                        pos_base=pos_base, bound=bound,
-                                       total_out=total_out)
+                                       total_out=total_out, entry=entry)
     seg = arrs.seg_of_subseq
     seg_pos_base = (seg * cfg.positions_per_seg if pos_base is None
                     else pos_base)

@@ -285,6 +285,36 @@ def test_write_tiles_matches_golden(test_image, spec, tile_mode):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+def test_write_tiles_slot_trim_fallback(test_image, monkeypatch):
+    """With the record-slot trim forced below real lane record counts,
+    over-trim lanes must drain through the leftover scatter bit-exactly
+    (the trim is a traffic optimization, never a correctness assumption)."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import write_pallas as WP
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    orig = WP.assemble_supertiles
+
+    def tiny_trim(val, wpos, m, du0_raw, total, G, W, s_trim=512):
+        return orig(val, wpos, m, du0_raw, total, G, W, s_trim=128)
+
+    monkeypatch.setattr(WP, "assemble_supertiles", tiny_trim)
+    # the AOT executable cache keys on the plan signature, which cannot see
+    # the monkeypatch — clear it so this decode really traces tiny_trim
+    from jpeggpu_tpu import pipeline as PL
+
+    PL._EXEC_CACHE.clear()
+    data = encode(test_image, EncodeSpec(quality=95))
+    plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles",
+                                                 tile_mode="super"))
+    try:
+        d = decode_jpeg_device(data, plan=plan)
+    finally:
+        PL._EXEC_CACHE.clear()  # drop executables traced with tiny_trim
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_write_tiles_garbage_stream(test_image):
     """Tiles write path on a garbage scan body: deterministic and equal to
     golden (exercises the leftover element-scatter escape for lanes whose
