@@ -67,11 +67,13 @@ class ScanConfig:
     tile_d: int = 96
     # supertile lane-group size of the tile_mode="super" write path
     # (ops/write_pallas.py assemble_supertiles): super_g consecutive lanes
-    # share one (128, 64) data-unit supertile; sized by build_plan so a
-    # group's typical span fills ~70% of the 128-row window
-    super_g: int = 8
-    # expand window in supertiles per 128-data-unit output group
-    super_w: int = 4
+    # share one (128, 64) data-unit supertile; sized by build_plan to a
+    # typical fill <= ~35% of the 128-row window so low-entropy spans
+    # rarely overflow it (see build_plan for the tradeoff data)
+    super_g: int = 4
+    # expand window in supertiles per 128-data-unit output group (2x the
+    # average group extent plus slack; build_plan)
+    super_w: int = 8
     # packed-huffval words per table in the symbol decode's one-hot select:
     # ceil(max table length / 4) bucketed to a multiple of 8 by build_plan
     # (the canonical AC tables have 162 symbols -> 48 rows, not 64; the

@@ -56,7 +56,10 @@ _TILE_BLOCK = 64
 _GROUP_DU = 128
 _SLAB = 32
 # compacted width of one leftover-scatter round
-_LEFTOVER_K = 512
+# the scatter costs ~8 ns per static element per round, so rounds are
+# narrow: typical content leaves a handful of leftover lanes, and the
+# while-loop takes more rounds only when content is pathological
+_LEFTOVER_K = 64
 # supertile geometry (tile_mode="super"): rows per supertile and supertiles
 # per stage-1 kernel block
 _SUPER_D = 128
@@ -435,7 +438,8 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     out2d = expand_supertiles(stiles, base, q, n_groups, W)
 
     out_flat = out2d.reshape(-1)
-    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total)
+    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,
+                                s_trim=s_trim)
     return out_flat[:total]
 
 
@@ -539,44 +543,61 @@ def _slab_index(du0, max_du, include, lanes, n_groups):
     return jnp.clip(l0 // _SLAB, 0, max(lanes // _SLAB - 2, 0))
 
 
-def scatter_leftover(out_flat, val, wpos, m, leftover, total):
-    """Element-scatter the records of leftover lanes, ``_LEFTOVER_K`` lanes
-    per compacted round until none remain. ``out_flat`` carries a drop slot
-    at index ``total`` and is in *natural* order (the expand kernel already
-    permuted); leftover targets convert zig-zag -> natural here. Never taken
-    on typical photographic content, so the per-record table lookup is
-    acceptable."""
+def scatter_leftover(out_flat, val, wpos, m, leftover, total,
+                     s_trim: int = 512):
+    """Element-scatter the records of leftover lanes until none remain.
+
+    XLA:TPU scatter costs ~8 ns per STATIC element regardless of masking
+    (scripts/scatterbench.py), so the round geometry must stay proportional
+    to real leftover work: rounds compact ``_LEFTOVER_K`` lanes and read
+    only the first ``s_trim`` record slots (a handful of lanes x ~250
+    real records on photographic content — one small round). Lanes whose
+    record count exceeds the trim drain through a second full-depth tier.
+
+    ``out_flat`` carries a drop slot at index ``total`` and is in *natural*
+    order (the expand kernel already permuted); leftover targets convert
+    zig-zag -> natural here."""
     s_cap, lanes = val.shape
     K = min(_LEFTOVER_K, lanes)
-    slot_i = jnp.arange(s_cap, dtype=jnp.int32)[:, None]
     nat = jnp.asarray(np.asarray(C.ORDER_NATURAL, np.int32))
 
-    def body(state):
-        out, left = state
-        # fill slots get the OOB index `lanes` so the clearing scatter drops
-        # them — clipping them to a real lane would duplicate that index and
-        # XLA leaves the winner of duplicate scatter-sets unspecified (the
-        # stale True can win and the loop never terminates)
-        idx_raw = jnp.nonzero(left, size=K, fill_value=lanes)[0].astype(
-            jnp.int32)
-        sel = idx_raw < lanes
-        idx = jnp.clip(idx_raw, 0, lanes - 1)
-        v = val[:, idx].astype(jnp.int16)
-        w = wpos[:, idx]
-        mm = m[idx]
-        ok = sel[None, :] & (slot_i < mm[None, :]) & (w >= 0)
-        w = jnp.clip(w, 0, total - 1)
-        w_nat = ((w >> 6) << 6) | nat[w & 63]
-        tgt = jnp.where(ok, w_nat, total)
-        out = out.at[tgt.reshape(-1)].add(
-            jnp.where(ok, v, 0).reshape(-1), mode="drop",
-            unique_indices=False)
-        left = left.at[idx_raw].set(False, mode="drop")
-        return out, left
+    def tier(out_flat, left, vals, wposs):
+        depth = vals.shape[0]
+        slot_i = jnp.arange(depth, dtype=jnp.int32)[:, None]
 
-    out_flat, _ = jax.lax.while_loop(
-        lambda s: jnp.any(s[1]), body, (out_flat, leftover))
-    return out_flat
+        def body(state):
+            out, left = state
+            # fill slots get the OOB index `lanes` so the clearing scatter
+            # drops them — clipping them to a real lane would duplicate that
+            # index and XLA leaves the winner of duplicate scatter-sets
+            # unspecified (the stale True can win and the loop never
+            # terminates)
+            idx_raw = jnp.nonzero(left, size=K, fill_value=lanes)[0].astype(
+                jnp.int32)
+            sel = idx_raw < lanes
+            idx = jnp.clip(idx_raw, 0, lanes - 1)
+            v = vals[:, idx].astype(jnp.int16)
+            w = wposs[:, idx]
+            mm = m[idx]
+            ok = sel[None, :] & (slot_i < mm[None, :]) & (w >= 0)
+            w = jnp.clip(w, 0, total - 1)
+            w_nat = ((w >> 6) << 6) | nat[w & 63]
+            tgt = jnp.where(ok, w_nat, total)
+            out = out.at[tgt.reshape(-1)].add(
+                jnp.where(ok, v, 0).reshape(-1), mode="drop",
+                unique_indices=False)
+            left = left.at[idx_raw].set(False, mode="drop")
+            return out, left
+
+        out_flat, _ = jax.lax.while_loop(
+            lambda s: jnp.any(s[1]), body, (out_flat, left))
+        return out_flat
+
+    S = min(s_trim, s_cap)
+    if S == s_cap:
+        return tier(out_flat, leftover, val, wpos)
+    out_flat = tier(out_flat, leftover & (m <= S), val[:S], wpos[:S])
+    return tier(out_flat, leftover & (m > S), val, wpos)
 
 
 def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,

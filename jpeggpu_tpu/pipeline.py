@@ -104,16 +104,23 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         tile_d = next((d for d in (32, 64, 96, 128)
                        if d >= 5.0 * avg_du), 128)
         # supertile group size (tile_mode="super"): G consecutive lanes
-        # share one 128-row data-unit window; target ~70% typical fill so
-        # span outliers still fit (the rest drain through the leftover
-        # scatter). Power of two for lane-bucket divisibility.
+        # share one 128-row data-unit window. Target <=~35% typical fill
+        # (G*avg_du in (22.5, 45]): low-entropy lanes span several times
+        # the average, and a single over-spanning lane sends its whole
+        # group's records to the leftover scatter — on the 12 MP bench
+        # records G=4 leaves 3 span-over lanes where G=8 leaves 644.
+        # Power of two for lane-bucket divisibility.
         super_g = 2
         while super_g < 32 and (2 * super_g) * avg_du <= 90.0:
             super_g *= 2
-        # expand window: supertiles per 128-du output group, sized to the
-        # typical group extent plus boundary slack
-        super_w = min(max(-(-128 // max(int(super_g * avg_du), 1)) + 2, 3),
-                      6)
+        # expand window: supertiles per 128-du output group. Dense regions
+        # pack ~2-3x more supertiles per group than the global average, so
+        # the window is 2x the average extent plus slack (W=8 covers the
+        # bench image's p100; lanes past the window drain through the
+        # leftover scatter). Expand cost is ~0.1 ms per W step — cheap
+        # relative to leftover rounds.
+        avg_extent = -(-128 // max(int(super_g * avg_du), 1))
+        super_w = min(max(2 * avg_extent + 2, 4), 12)
         # packed-huffval one-hot rows: longest used table, bucketed to a
         # multiple of 8 words (canonical AC tables: 162 symbols -> 48)
         hv_rows = max((t.num_symbols for t in scan.huff_tables),
