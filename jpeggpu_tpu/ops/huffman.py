@@ -74,6 +74,11 @@ class ScanConfig:
     # expand window in supertiles per 128-data-unit output group (2x the
     # average group extent plus slack; build_plan)
     super_w: int = 8
+    # which stage-1 shape tile_mode="auto" resolves to for this scan
+    # ("super" | "lane"): build_plan picks "lane" for sparse scans whose
+    # minimum supertile-group span would overflow the 128-row window and
+    # drain through the serial leftover scatter
+    tile_auto: str = "super"
     # packed-huffval words per table in the symbol decode's one-hot select:
     # ceil(max table length / 4) bucketed to a multiple of 8 by build_plan
     # (the canonical AC tables have 162 symbols -> 48 rows, not 64; the

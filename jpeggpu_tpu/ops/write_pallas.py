@@ -393,6 +393,12 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     assert total % C.DATA_UNIT_SIZE == 0
     assert lanes % G == 0
     n_st = lanes // G
+    # the expand kernel gathers supertile blocks q[g] .. q[g]+W-1 and
+    # _super_slab clips q to n_st - W: with fewer supertiles than the
+    # window (small dense images) the unclamped window would read past the
+    # last supertile, which Pallas clamps to re-fetching it — its rows
+    # would sum into every group more than once
+    W = min(W, n_st)
     n_du = total // C.DATA_UNIT_SIZE
     n_groups = -(-(n_du + 2) // _GROUP_DU)
 
@@ -642,11 +648,15 @@ def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
     return out_flat[:total]
 
 
-def resolve_tile_mode(mode: str) -> str:
-    """Tuning.tile_mode -> concrete stage-1 shape. "auto" selects the
-    supertile path everywhere: 3.7x faster than the per-lane batched dots
-    on v5e (see module notes) and interpret-validated on CPU."""
-    return "super" if mode == "auto" else mode
+def resolve_tile_mode(mode: str, auto_choice: str = "super") -> str:
+    """Tuning.tile_mode -> concrete stage-1 shape. "auto" defers to the
+    plan's per-scan choice (ScanConfig.tile_auto): supertiles are 3.7x
+    faster than the per-lane batched dots on v5e for typical record
+    densities, but sparse scans (few data units per subsequence) make the
+    minimum 2-lane group span exceed the _SUPER_D window and would drain
+    almost every lane through the serial leftover scatter — build_plan
+    routes those to the per-lane path."""
+    return auto_choice if mode == "auto" else mode
 
 
 def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
@@ -663,7 +673,7 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
                     else pos_base)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
-    if resolve_tile_mode(cfg.tuning.tile_mode) == "super":
+    if resolve_tile_mode(cfg.tuning.tile_mode, cfg.tile_auto) == "super":
         return assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
                                    cfg.super_w)
     return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,

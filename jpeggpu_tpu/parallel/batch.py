@@ -238,7 +238,8 @@ def _geometry_key(sig: PlanSignature) -> PlanSignature:
             sp, scan_bytes_padded=0,
             cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0,
                                     tile_d=0, super_g=0, super_w=0,
-                                    hv_rows=0, hv_slot_rows=(0,) * 8))
+                                    tile_auto="", hv_rows=0,
+                                    hv_slot_rows=(0,) * 8))
         for sp in sig.scans)
     return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
@@ -331,7 +332,10 @@ class BatchDecoder:
                  tuple(max(prelim[i].signature.scans[s].cfg.hv_slot_rows[t]
                            for i in idxs) for t in range(8)),
                  min(prelim[i].signature.scans[s].cfg.super_g for i in idxs),
-                 max(prelim[i].signature.scans[s].cfg.super_w for i in idxs))
+                 max(prelim[i].signature.scans[s].cfg.super_w for i in idxs),
+                 ("lane" if any(
+                     prelim[i].signature.scans[s].cfg.tile_auto == "lane"
+                     for i in idxs) else "super"))
                 for s in range(nscans))
             for i in idxs:
                 plan = (prelim[i] if len(idxs) == 1

@@ -350,15 +350,21 @@ def _subseq_shard_decode(shp: SubseqShardStatic, axis: str, words, seg_of,
     def cond(st):
         return st[0] & (st[1] < D)
 
+    # the state carries BOTH the entry that produced the current p/c/z
+    # (used) and the freshly permuted one (next): if the loop exits via the
+    # it == D cap while still changed, the decode below must pair p/c/z
+    # with the entry they were synced from — pairing them with the newer
+    # permuted entry would be an inconsistent (entry, states) pair and a
+    # silently wrong decode. On convergence the two are equal anyway.
     def body(st):
-        _, it, entry, p, c, z, n = st
+        _, it, _, entry, p, c, z, n = st
         p, c, z, n, ne = sync_once(entry)
         ch = jax.lax.psum(
             jnp.any(ne != entry).astype(jnp.int32), axis) > 0
-        return ch, it + 1, ne, p, c, z, n
+        return ch, it + 1, entry, ne, p, c, z, n
 
-    _, _, entry_fin, p, c, z, n = jax.lax.while_loop(
-        cond, body, (changed, jnp.int32(1), ne, p, c, z, n))
+    _, _, entry_fin, _, p, c, z, n = jax.lax.while_loop(
+        cond, body, (changed, jnp.int32(1), entry0, ne, p, c, z, n))
 
     # global write positions: local within-segment offsets, plus — for the
     # head-partial segment — the symbol counts its predecessors decoded

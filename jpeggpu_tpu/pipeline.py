@@ -121,6 +121,12 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         # relative to leftover rounds.
         avg_extent = -(-128 // max(int(super_g * avg_du), 1))
         super_w = min(max(2 * avg_extent + 2, 4), 12)
+        # sparse scans (mid-quality large images, avg_du >~ 55): even the
+        # minimum 2-lane supertile group typically spans >= the 128-row
+        # window, sending ~every second lane through the serial leftover
+        # scatter — route tile_mode="auto" to the per-lane path, whose
+        # tile_d window holds a single sparse lane comfortably
+        tile_auto = "lane" if avg_du > 55.0 else "super"
         # packed-huffval one-hot rows: longest used table, bucketed to a
         # multiple of 8 words (canonical AC tables: 162 symbols -> 48)
         hv_rows = max((t.num_symbols for t in scan.huff_tables),
@@ -150,6 +156,12 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                 super_g = min(super_g, pad_scans[si][5])
             if len(pad_scans[si]) > 6:
                 super_w = max(super_w, pad_scans[si][6])
+            if len(pad_scans[si]) > 7:
+                # a mixed-density group takes "lane": correct and decent
+                # for both regimes, where "super" is pathological for the
+                # sparse members
+                if pad_scans[si][7] == "lane":
+                    tile_auto = "lane"
         slot_rows = [min(r, hv_rows) for r in slot_rows]
         comps = []
         for sc in scan.components:
@@ -181,6 +193,7 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             tile_d=tile_d,
             super_g=super_g,
             super_w=super_w,
+            tile_auto=tile_auto,
             hv_rows=hv_rows,
             hv_slot_rows=tuple(slot_rows),
             tuning=tuning,
@@ -372,6 +385,23 @@ def _jit_pipeline_donate(signature: PlanSignature, scan_inputs, qtables,
     return decode_pipeline(signature, scan_inputs, qtables, with_idct)
 
 
+# Caller-owned-output variant: decoded planes are written INTO the caller's
+# (donated) device arrays — the XLA-native analog of the reference's output
+# contract, where decode() writes each component into user-provided device
+# memory with a per-component pitch (jpeggpu.h:95-100, validated at
+# decoder.cpp:336-353). The donated buffer's trailing pitch columns/rows are
+# preserved, exactly like the reference leaves bytes past `width` per row
+# untouched; XLA aliases each output to its donated input so no output
+# allocation happens, and the returned arrays occupy the caller's memory.
+@partial(jax.jit, static_argnums=(0, 4), donate_argnums=(3,))
+def _jit_pipeline_into(signature: PlanSignature, scan_inputs, qtables, outs,
+                       with_idct):
+    planes = decode_pipeline(signature, scan_inputs, qtables, with_idct)
+    return tuple(
+        jax.lax.dynamic_update_slice(o, p.astype(o.dtype), (0, 0))
+        for o, p in zip(outs, planes))
+
+
 # Explicit AOT executable cache. Compiling through .lower().compile() is both
 # dramatically faster than dispatch-triggered compilation on this jax version
 # and gives us an inspectable artifact (memory analysis, cost analysis) — the
@@ -388,6 +418,20 @@ def get_compiled(plan: DecodePlan, inputs, with_idct: bool = True,
         fn = _jit_pipeline_donate if donate else _jit_pipeline
         exe = fn.lower(
             plan.signature, inputs["scans"], inputs["qtables"],
+            with_idct).compile()
+        _EXEC_CACHE[key] = exe
+    return exe
+
+
+def get_compiled_into(plan: DecodePlan, inputs, outs, with_idct: bool = True):
+    """AOT executable for the caller-owned-output decode (see
+    _jit_pipeline_into); cached per (signature, output buffer shapes)."""
+    key = (plan.signature, with_idct, "into",
+           tuple((o.shape, str(o.dtype)) for o in outs))
+    exe = _EXEC_CACHE.get(key)
+    if exe is None:
+        exe = _jit_pipeline_into.lower(
+            plan.signature, inputs["scans"], inputs["qtables"], tuple(outs),
             with_idct).compile()
         _EXEC_CACHE[key] = exe
     return exe

@@ -96,6 +96,27 @@ def test_bitexact_noise(noise_image):
     _check(encode(noise_image, EncodeSpec(quality=98)))
 
 
+def test_bitexact_supertile_window_exceeds_count(noise_image):
+    """Small dense scan where the expand window W exceeds the supertile
+    count n_st: the window must clamp to n_st, otherwise the last
+    supertile's rows are gathered (and summed) multiple times per group.
+    super_w is forced above lanes//super_g via pad_scans."""
+    from jpeggpu_tpu.pipeline import build_plan, decode_jpeg_device
+    from jpeggpu_tpu.reader import parse
+
+    data = encode(noise_image, EncodeSpec(quality=100))
+    pad = (((0, 0, 0, 0, (0,) * 8, 32, 12),)
+           * len(parse(data).scans))
+    plan = build_plan(parse(data), pad_scans=pad)
+    cfg = plan.signature.scans[0].cfg
+    assert cfg.lanes // cfg.super_g < cfg.super_w, (
+        "test no longer exercises n_st < W; shrink the image or raise "
+        "the super_w floor")
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_bitexact_four_component(test_image):
     img = test_image
     planes = [img[..., 0], img[..., 1], img[..., 2], 255 - img[..., 0]]
