@@ -159,6 +159,55 @@ class Decoder:
             self._debug_checks(planes, with_idct)
         return planes
 
+    def decode_into(self, outs: Sequence, *, with_idct: bool = True) -> List:
+        """Decode into caller-owned, reusable device output buffers.
+
+        The analog of the reference's output contract: decode() writes each
+        component plane into user-provided device memory whose row pitch may
+        exceed the component width (jpeggpu.h:95-100; pointer/pitch
+        validation at decoder.cpp:336-353). ``outs`` is one ``jax.Array``
+        per component, each at least ``(size_y, size_x)`` — larger extents
+        are the pitch: the decoded plane lands in the top-left corner and
+        all bytes past it are preserved, exactly like the reference leaves
+        row tails untouched.
+
+        The buffers are DONATED: XLA aliases each output to the caller's
+        buffer, so the decode allocates no output memory and the returned
+        arrays occupy the same device buffers — pass them back in to decode
+        the next image into the same memory (the JAX ownership model makes
+        the *handle* single-use where the reference reuses a raw pointer;
+        the memory is reused identically). The old handles are invalid
+        after the call.
+        """
+        import jax
+
+        plan = self._require_plan()
+        comps = plan.stream.components
+        if len(outs) != len(comps):
+            raise InvalidArgument(
+                f"expected {len(comps)} output planes, got {len(outs)}")
+        want = np.uint8 if with_idct else np.int16
+        for i, (o, c) in enumerate(zip(outs, comps)):
+            if not isinstance(o, jax.Array):
+                raise InvalidArgument(
+                    f"output plane {i} must be a jax.Array (device memory)")
+            if o.ndim != 2 or o.shape[0] < c.size_y or o.shape[1] < c.size_x:
+                raise InvalidArgument(
+                    f"output plane {i} shape {o.shape} is smaller than the "
+                    f"component ({c.size_y}, {c.size_x}) — pitch must be >= "
+                    f"width (decoder.cpp:345-352)")
+            if o.dtype != want:
+                raise InvalidArgument(
+                    f"output plane {i} dtype {o.dtype} != {np.dtype(want)}")
+        inputs = self._host_inputs()
+        if self._device_inputs is None:
+            self.transfer()
+        from .pipeline import get_compiled_into
+
+        exe = get_compiled_into(plan, inputs, outs, with_idct)
+        dev = self._device_inputs
+        return list(exe(dev["scans"], dev["qtables"], tuple(outs)))
+
     def _debug_checks(self, planes, with_idct: bool) -> None:
         """Synchronous consistency checks (reference is_debug analog)."""
         from . import debug

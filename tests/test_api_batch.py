@@ -230,6 +230,38 @@ def test_donated_decode_consumes_staged_buffers(test_image):
             assert np.array_equal(a, b)
 
 
+def test_decode_into_reuses_caller_buffers(test_image):
+    """decode_into writes planes into caller-owned device buffers with
+    pitch semantics (jpeggpu.h:95-100): two decodes reuse the same memory
+    with no reallocation, and bytes past the component extent survive."""
+    from jpeggpu_tpu.errors import InvalidArgument
+
+    data = encode(test_image, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)]))
+    ref = golden.decode(data)
+    with Decoder() as d:
+        info = d.parse_header(data)
+        # pitch: 5 columns / 3 rows of slack, pre-filled with a sentinel
+        outs = [jax.device_put(np.full((sy + 3, sx + 5), 0xAB, np.uint8))
+                for sx, sy in zip(info.sizes_x, info.sizes_y)]
+        ptrs = [o.unsafe_buffer_pointer() for o in outs]
+        outs = d.decode_into(outs)
+        for (a, b, sx, sy) in zip(ref, outs, info.sizes_x, info.sizes_y):
+            got = np.asarray(b)
+            assert np.array_equal(a, got[:sy, :sx])
+            assert (got[sy:, :] == 0xAB).all() and (got[:, sx:] == 0xAB).all()
+        # second decode into the returned handles: same memory, no realloc
+        outs2 = d.decode_into(outs)
+        if jax.default_backend() != "cpu":  # CPU may ignore donation
+            assert [o.unsafe_buffer_pointer() for o in outs2] == ptrs
+        for (a, b, sx, sy) in zip(ref, outs2, info.sizes_x, info.sizes_y):
+            assert np.array_equal(a, np.asarray(b)[:sy, :sx])
+        # validation parity with decoder.cpp:336-353: pitch < width rejected
+        bad = [jax.device_put(np.zeros((sy, sx - 1), np.uint8))
+               for sx, sy in zip(info.sizes_x, info.sizes_y)]
+        with pytest.raises(InvalidArgument):
+            d.decode_into(bad)
+
+
 def test_debug_destuff_cross_check_fires(test_image, monkeypatch):
     """The is_debug device-vs-host destuff comparison (the analog of
     decode_destuff.cu:242-253) passes on a good decode and raises
