@@ -43,6 +43,9 @@ IMAGE = "/root/reference/images/IMG_6510.JPG"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 ITERS = 20
+# merged-lane batch size for the default headline's batch_mps field (tuned
+# on v5e; see BENCH.md batch table)
+DEFAULT_BATCH = 16
 
 
 def _stats(times):
@@ -130,6 +133,59 @@ def _bench_pipelined(data, iters=ITERS, depth=2):
     dt = (time.perf_counter() - t0) / iters
     return dict(mp=mp, med_ms=dt * 1e3, avg_ms=dt * 1e3, max_ms=dt * 1e3,
                 mps=mp / dt, img_s=1 / dt)
+
+
+def _bench_slope(data, iters=10, K=3):
+    """RTT-free whole-decode device time: K full decodes chained inside ONE
+    executable, each consuming one word of the previous decode's output
+    through an always-false perturbation of the next decode's input words
+    (XLA can neither fold nor hoist it — the stagebench slope trick applied
+    end-to-end). Reports (t_K - t_1)/(K - 1): the marginal device cost of
+    one decode with the dispatch round trip subtracted. This is the regime
+    the reference's own benchmark loop measures
+    (benchmark_common.hpp:30-61): back-to-back decodes whose ~10 us launch
+    latency is negligible, where this environment's ~25-40 ms tunnel RTT
+    is not."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeggpu_tpu.pipeline import (build_inputs, build_plan,
+                                      decode_pipeline)
+    from jpeggpu_tpu.reader import parse
+
+    stream = parse(data)
+    mp = stream.size_x * stream.size_y / 1e6
+    plan = build_plan(stream)
+    inputs = build_inputs(data, plan)
+    sig = plan.signature
+
+    def rep_f(KK):
+        def f(scan_inputs, qtables):
+            acc = jnp.zeros((), jnp.uint32)
+            tot = jnp.int32(0)
+            for _ in range(KK):
+                si0 = dict(scan_inputs[0])
+                w = si0["words"]
+                si0["words"] = jnp.where(acc == jnp.uint32(0xDEADBEEF),
+                                         w + 1, w)
+                out = decode_pipeline(sig, [si0] + list(scan_inputs[1:]),
+                                      qtables, True)
+                s = out[0][0, 0].astype(jnp.int32)
+                acc = s.astype(jnp.uint32)
+                tot = tot + s
+            return tot.reshape(1)
+        return f
+
+    dev_scans = jax.device_put(inputs["scans"])
+    dev_qt = jax.device_put(inputs["qtables"])
+    ts = {}
+    for KK in (1, K):
+        exe = jax.jit(rep_f(KK)).lower(dev_scans, dev_qt).compile()
+        run = lambda: np.asarray(exe(dev_scans, dev_qt))[0]  # noqa: E731
+        ts[KK] = _time_loop(run, iters)["med_ms"]
+    ms = (ts[K] - ts[1]) / (K - 1)
+    return dict(mp=mp, device_ms=ms, mps=mp / (ms / 1e3),
+                t1_ms=ts[1], tk_ms=ts[K], k=K)
 
 
 def _bench_e2e(data, iters=ITERS):
@@ -288,13 +344,21 @@ def main():
         }))
         return 0
 
-    # ("--pipelined" is the default now; accepted for compatibility)
-    # headline: depth-2 pipelined stream throughput — the analog of the
-    # reference's back-to-back benchmark loop (benchmark_common.hpp:30-61:
-    # its ~10 us kernel-launch latency is hidden by the stream; this
-    # environment's ~30 ms tunnel dispatch RTT plays that role here, so an
-    # unpipelined single-dispatch number measures the tunnel, not the
-    # decoder). Single-dispatch latency is still reported on stderr.
+    if "--slope" in sys.argv:
+        sl = _bench_slope(data, iters=iters)
+        print(f"device slope: {sl['device_ms']:.2f} ms/decode = "
+              f"{sl['mps']:.1f} MP/s (t1 {sl['t1_ms']:.1f}, "
+              f"t{sl['k']} {sl['tk_ms']:.1f})", file=sys.stderr, flush=True)
+        return 0
+
+    # Headline: the RTT-free chained-K device time — the regime the
+    # reference's own loop measures (back-to-back decodes; its ~10 us
+    # launch latency is negligible where this tunnel's ~25-40 ms dispatch
+    # RTT is not, and this tunnel SERIALIZES dispatches so depth-k
+    # pipelining cannot hide it). The depth-2 stream and single-dispatch
+    # numbers are reported alongside for continuity, and the tuned
+    # merged-lane batch number — the production multi-image regime, where
+    # one dispatch decodes B images — rides as batch_mps.
     lat = _bench_one(data, iters=iters)
     print(f"single-dispatch latency: avg {lat['avg_ms']:.1f} ms, "
           f"max {lat['max_ms']:.1f} ms ({lat['mps']:.1f} MP/s unpipelined)",
@@ -302,16 +366,32 @@ def main():
     s = _bench_pipelined(data, iters=iters)
     print(f"pipelined stream: {s['img_s']:.2f} img/s, {s['mps']:.1f} MP/s",
           file=sys.stderr, flush=True)
+    sl = _bench_slope(data, iters=max(iters // 2, 5))
+    print(f"device slope: {sl['device_ms']:.2f} ms/decode = "
+          f"{sl['mps']:.1f} MP/s RTT-free", file=sys.stderr, flush=True)
+    try:
+        b = bench_batch(max(iters // 2, 5), batch=DEFAULT_BATCH)
+        batch_fields = {
+            "batch_mps": round(b["mps"], 2),
+            "batch_size": b["batch"],
+            "batch_vs_baseline": round(b["mps"] / BASELINE_MPS, 4),
+        }
+    except Exception as exc:  # noqa: BLE001 - batch must not sink the line
+        print(f"batch bench failed: {exc!r}", file=sys.stderr, flush=True)
+        batch_fields = {}
     from jpeggpu_tpu.reader import parse
 
-    roof = _roofline(parse(data), s["mps"])
+    roof = _roofline(parse(data), sl["mps"])
     print(json.dumps({
-        "metric": "decode_throughput_12mp_stream",
-        "value": round(s["mps"], 2),
+        "metric": "decode_device_throughput_12mp",
+        "value": round(sl["mps"], 2),
         "unit": "MP/s/chip",
-        "vs_baseline": round(s["mps"] / BASELINE_MPS, 4),
+        "vs_baseline": round(sl["mps"] / BASELINE_MPS, 4),
+        "device_ms_slope": round(sl["device_ms"], 2),
+        "stream_mps": round(s["mps"], 2),
         "single_dispatch_avg_ms": round(lat["avg_ms"], 2),
         "single_dispatch_max_ms": round(lat["max_ms"], 2),
+        **batch_fields,
         **roof,
     }))
 
