@@ -14,11 +14,14 @@ Mechanics (segment granularity, scans with >= num_devices segments):
 - a `shard_map` over the mesh runs the standard decode on each shard (the
   per-lane bound/base arrays carry the shard-local geometry, so the SPMD
   program is uniform);
-- shard coefficient slices concatenate in segment order — positions of
-  consecutive segment groups are contiguous, so the "ordered gather of
-  planes" is a plain axis concatenation followed by static trimming;
-- DC un-delta / de-interleave / IDCT then run on the gathered stream (they
-  are a few percent of the work).
+- shard coefficient slices merge by reduce_scatter into MCU-row-aligned
+  chunks (positions of consecutive segment groups are contiguous and the
+  supports are disjoint, so the "ordered gather" IS the reduce) — no device
+  ever materializes a replicated full-size stream;
+- DC un-delta / de-interleave / IDCT run on each shard's own row chunk
+  (the only cross-chunk coupling is the DC predictor of a segment that
+  straddles a chunk seam — one all_gather of per-component partial sums),
+  and the planes return row-sharded.
 
 Scans with fewer segments than devices (ultimately: one giant no-restart
 segment) shard at SUBSEQUENCE granularity instead — the associative-scan
@@ -55,7 +58,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
-from ..ops.dc import undelta_dc
 from ..ops.huffman import ScanArrays, ScanConfig, decode_scan
 from ..ops.idct import dequant_idct_plane
 from ..ops.transpose import deinterleave
@@ -183,8 +185,99 @@ def build_shard_inputs(data: bytes, plan: DecodePlan,
                 maxcode=maxcode, vsm=vsm, huffval=huffval)
 
 
-def _shard_decode(shp: ShardPlanStatic, words, seg_of, seg_first, seg_nsub,
-                  pos_base, pos_bound, n_subseq, maxcode, vsm, huffval):
+# --- sharded tail ------------------------------------------------------------
+#
+# The tail stages (DC un-delta, de-interleave, IDCT) partition cleanly by
+# MCU ROWS: a chunk of whole MCU rows is a contiguous coefficient range, its
+# de-interleaved pixels are a contiguous plane row block, and the only
+# cross-chunk coupling is the DC predictor of a segment that straddles a
+# chunk boundary — one scalar per scan component per shard, resolved by the
+# same one-all_gather seam pattern as the symbol offsets. The coefficient
+# merge is therefore a reduce_scatter (psum_scatter) into row-aligned
+# chunks, NOT a psum: no shard ever materializes a replicated full-size
+# stream, each runs its own tail, and the planes come back row-sharded.
+
+
+def _chunk_rows(num_mcus_y: int, D: int) -> int:
+    return -(-num_mcus_y // D)
+
+
+def _undelta_dc_chunk(cfg: ScanConfig, comp_slots, chunk, me, axis: str,
+                      D: int):
+    """DC un-delta on one MCU-row-aligned coefficient chunk.
+
+    Identical arithmetic to ops.dc.undelta_dc (int32 cumsum, one int16 wrap
+    at the end) with the segment prefix split at chunk seams: a segment that
+    began in an earlier chunk contributes its partial sum via one
+    all_gather of per-component tail sums."""
+    chunk_du = chunk.shape[0] // C.DATA_UNIT_SIZE
+    arr = chunk.reshape(chunk_du, C.DATA_UNIT_SIZE)
+    dc = arr[:, 0].astype(jnp.int32)
+    d0 = me * chunk_du
+    dloc = jnp.arange(chunk_du, dtype=jnp.int32)
+    slot = (d0 + dloc) % cfg.du_per_mcu
+    seg_du = cfg.mcus_per_seg * cfg.du_per_mcu
+    gseg = (d0 + dloc) // seg_du
+    head_seg = d0 // seg_du
+    last_seg = (d0 + chunk_du - 1) // seg_du
+
+    per_comp = []
+    tails = []
+    for off, cnt in comp_slots:
+        sel = (slot >= off) & (slot < off + cnt)
+        x = jnp.where(sel, dc, 0)
+        cum = jnp.cumsum(x)
+        per_comp.append((sel, cum))
+        # this chunk's contribution to its (possibly continuing) last segment
+        tails.append(jnp.sum(jnp.where(gseg == last_seg, x, 0)))
+    g = jax.lax.all_gather(jnp.stack(tails), axis)  # (D, ncomp)
+    eidx = jnp.arange(D, dtype=jnp.int32)
+    last_seg_all = ((eidx + 1) * chunk_du - 1) // seg_du
+
+    new_dc = dc
+    crosses_in = head_seg * seg_du < d0  # head segment began in a prior chunk
+    for ci, (sel, cum) in enumerate(per_comp):
+        # sum of this component's deltas over the head segment's earlier
+        # chunks: every predecessor whose last segment IS our head segment
+        # (a segment spanning k chunks chains through k-1 such tails)
+        prefix = jnp.sum(jnp.where((eidx < me) & (last_seg_all == head_seg),
+                                   g[:, ci], 0))
+        seg_start_loc = gseg * seg_du - d0
+        base_local = jnp.where(
+            seg_start_loc > 0,
+            jnp.take(cum, jnp.clip(seg_start_loc - 1, 0, chunk_du - 1)), 0)
+        in_head = (gseg == head_seg) & crosses_in
+        val = jnp.where(in_head, cum + prefix, cum - base_local)
+        new_dc = jnp.where(sel, val, new_dc)
+    wrapped = ((new_dc + 0x8000) & 0xFFFF) - 0x8000
+    return arr.at[:, 0].set(wrapped.astype(jnp.int16)).reshape(-1)
+
+
+def _tail_chunk(cfg: ScanConfig, sp, with_idct: bool, axis: str, D: int,
+                rows: int, coeffs_padded, qtables):
+    """Reduce-scatter the (disjoint-support) per-shard coefficient buffers
+    into MCU-row chunks and run DC/de-interleave/IDCT shard-locally.
+    Returns one row block per scan component (pixel rows if with_idct)."""
+    chunk = jax.lax.psum_scatter(coeffs_padded, axis, scatter_dimension=0,
+                                 tiled=True)
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    comp_slots = tuple((c0[1], c0[2] * c0[3]) for c0 in sp.comps)
+    with jax.named_scope("jpeggpu.dc"):
+        chunk = _undelta_dc_chunk(cfg, comp_slots, chunk, me, axis, D)
+    t_comps = [(c0[1], c0[2], c0[3], 0) for c0 in sp.comps]
+    with jax.named_scope("jpeggpu.deinterleave"):
+        planes = deinterleave(cfg, chunk, sp.num_mcus_x, rows, t_comps)
+    if with_idct:
+        with jax.named_scope("jpeggpu.idct"):
+            planes = [dequant_idct_plane(p, qtables[c0[6]])
+                      for p, c0 in zip(planes, sp.comps)]
+    return tuple(planes)
+
+
+def _shard_decode(shp: ShardPlanStatic, sp, with_idct: bool, axis: str,
+                  rows: int, padded_total: int, words, seg_of, seg_first,
+                  seg_nsub, pos_base, pos_bound, n_subseq, lo_pos, qtables,
+                  maxcode, vsm, huffval):
     # shard_map passes per-device blocks with a leading axis of size 1
     arrs = ScanArrays(words=words[0], seg_of_subseq=seg_of[0],
                       seg_first_lane=seg_first[0], seg_num_subseq=seg_nsub[0],
@@ -192,42 +285,60 @@ def _shard_decode(shp: ShardPlanStatic, words, seg_of, seg_first, seg_nsub,
     coeffs = decode_scan(shp.cfg, arrs, num_subseq=n_subseq[0, 0],
                          pos_base=pos_base[0], bound=pos_bound[0],
                          total_out=shp.shard_positions)
-    return coeffs[None, :]
+    # embed the shard-local slice into the row-padded global frame; the
+    # supports stay disjoint, so the reduce_scatter of _tail_chunk is the
+    # ordered gather — restricted to each shard's own row chunk
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    # the embed buffer carries shard_positions of slack so no shard's
+    # (zero-padded) slice is shifted by dynamic_update_slice's start clamp;
+    # real positions all sit below padded_total, so the trim only drops
+    # padding zeros
+    frame = jnp.zeros(padded_total + shp.shard_positions, jnp.int16)
+    frame = jax.lax.dynamic_update_slice(frame, coeffs,
+                                         (jnp.take(lo_pos, me),))
+    return _tail_chunk(shp.cfg, sp, with_idct, axis, shp.num_shards, rows,
+                       frame[:padded_total], qtables)
 
 
-def _decode_scan_segments(data: bytes, plan: DecodePlan, si: int,
-                          mesh: Mesh) -> jax.Array:
-    """Coefficient stream of scan `si`, sharded at segment granularity."""
+def _decode_scan_segments(data: bytes, plan: DecodePlan, si: int, mesh: Mesh,
+                          with_idct: bool):
+    """Per-component plane row blocks of scan `si`, sharded at segment
+    granularity (tail included: planes return row-sharded)."""
     D = mesh.devices.size
     shp = plan_shards(plan, D, si)
     inputs = build_shard_inputs(data, plan, shp, si)
     axis = mesh.axis_names[0]
+    sp = plan.signature.scans[si]
+    cfg = shp.cfg
+    rows = _chunk_rows(sp.num_mcus_y, D)
+    row_pos = sp.num_mcus_x * cfg.du_per_mcu * C.DATA_UNIT_SIZE
+    padded_total = D * rows * row_pos
+    lo_pos = np.asarray([b * cfg.positions_per_seg for b in shp.bounds[:D]],
+                        np.int32)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     dev_in = {k: jax.device_put(
         v, shard if k not in ("maxcode", "vsm", "huffval") else repl)
         for k, v in inputs.items()}
+    dev_in["lo_pos"] = jax.device_put(lo_pos, repl)
+    dev_in["qtables"] = jax.device_put(
+        plan.stream.qtables.astype(np.int32), repl)
 
     from jax import shard_map
 
     f = shard_map(
-        partial(_shard_decode, shp),
+        partial(_shard_decode, shp, sp, with_idct, axis, rows, padded_total),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(), P(), P()),
-        out_specs=P(axis),
+                  P(axis), P(), P(), P(), P(), P()),
+        out_specs=tuple(P(axis) for _ in sp.comps),
         check_vma=False,
     )
-    # each shard yields (1, shard_positions); the stacked result on the
-    # shard axis is the ordered gather of the coefficient stream
-    coeffs_sh = jax.jit(lambda i: f(
+    return jax.jit(lambda i: f(
         i["words"], i["seg_of"], i["seg_first"], i["seg_nsub"],
-        i["pos_base"], i["pos_bound"], i["n_subseq"],
-        i["maxcode"], i["vsm"], i["huffval"]))(dev_in)
-
-    pieces = [coeffs_sh[d, :shp.real_positions[d]] for d in range(D)]
-    return jnp.concatenate(pieces)
+        i["pos_base"], i["pos_bound"], i["n_subseq"], i["lo_pos"],
+        i["qtables"], i["maxcode"], i["vsm"], i["huffval"]))(dev_in)
 
 
 # --- subsequence-granular sharding (no-restart / few-segment scans) ---------
@@ -310,9 +421,10 @@ def build_subseq_shard_inputs(data: bytes, plan: DecodePlan,
                 maxcode=maxcode, vsm=vsm, huffval=huffval)
 
 
-def _subseq_shard_decode(shp: SubseqShardStatic, axis: str, words, seg_of,
-                         seg_first, seg_nsub, seg_global, prev_word,
-                         n_subseq, maxcode, vsm, huffval):
+def _subseq_shard_decode(shp: SubseqShardStatic, sp, with_idct: bool,
+                         axis: str, rows: int, padded_total: int, words,
+                         seg_of, seg_first, seg_nsub, seg_global, prev_word,
+                         n_subseq, qtables, maxcode, vsm, huffval):
     from ..ops import huffman as H
 
     cfg = shp.cfg
@@ -387,40 +499,49 @@ def _subseq_shard_decode(shp: SubseqShardStatic, axis: str, words, seg_of,
     bound = jnp.minimum((gseg + 1) * pps, total)
     coeffs = H.decode_scan_from_states(
         cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base, bound=bound,
-        total_out=total,
+        total_out=padded_total,
         entry=(entry_fin[0], entry_fin[1], entry_fin[2]))
-    # record supports are disjoint across shards: the sum is the merge
-    return jax.lax.psum(coeffs, axis)
+    # record supports are disjoint across shards: the reduce_scatter of
+    # _tail_chunk merges them straight into per-shard MCU-row chunks
+    return _tail_chunk(cfg, sp, with_idct, axis, D, rows, coeffs, qtables)
 
 
-def _decode_scan_subseq(data: bytes, plan: DecodePlan, si: int,
-                        mesh: Mesh) -> jax.Array:
-    """Coefficient stream of scan `si`, sharded at subsequence granularity
-    (no-restart / fewer-segments-than-devices scans)."""
+def _decode_scan_subseq(data: bytes, plan: DecodePlan, si: int, mesh: Mesh,
+                        with_idct: bool):
+    """Per-component plane row blocks of scan `si`, sharded at subsequence
+    granularity (no-restart / fewer-segments-than-devices scans); the tail
+    runs sharded and the planes return row-sharded."""
     D = mesh.devices.size
     shp = plan_subseq_shards(plan, D, si)
     inputs = build_subseq_shard_inputs(data, plan, shp, si)
     axis = mesh.axis_names[0]
+    sp = plan.signature.scans[si]
+    rows = _chunk_rows(sp.num_mcus_y, D)
+    row_pos = sp.num_mcus_x * shp.cfg.du_per_mcu * C.DATA_UNIT_SIZE
+    padded_total = D * rows * row_pos
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     dev_in = {k: jax.device_put(
         v, shard if k not in ("maxcode", "vsm", "huffval") else repl)
         for k, v in inputs.items()}
+    dev_in["qtables"] = jax.device_put(
+        plan.stream.qtables.astype(np.int32), repl)
 
     from jax import shard_map
 
     f = shard_map(
-        partial(_subseq_shard_decode, shp, axis),
+        partial(_subseq_shard_decode, shp, sp, with_idct, axis, rows,
+                padded_total),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(), P(), P()),
-        out_specs=P(),
+                  P(axis), P(), P(), P(), P()),
+        out_specs=tuple(P(axis) for _ in sp.comps),
         check_vma=False,
     )
     return jax.jit(lambda i: f(
         i["words"], i["seg_of"], i["seg_first"], i["seg_nsub"],
-        i["seg_global"], i["prev_word"], i["n_subseq"],
+        i["seg_global"], i["prev_word"], i["n_subseq"], i["qtables"],
         i["maxcode"], i["vsm"], i["huffval"]))(dev_in)
 
 
@@ -430,35 +551,27 @@ def decode_sharded(data: bytes, mesh: Mesh, *,
     """Decode one image sharded across `mesh`: each scan at segment
     granularity when it has >= num_devices restart segments, else at
     subsequence granularity with cross-shard boundary sync. Multi-scan
-    images decode scan-by-scan."""
+    images decode scan-by-scan.
+
+    The whole pipeline is sharded, tail included: coefficients merge by
+    reduce_scatter into MCU-row chunks, DC un-delta crosses chunk seams via
+    one per-component all_gather, and de-interleave + IDCT run on each
+    shard's own rows — no device ever holds a replicated full-size
+    intermediate, and the planes come back row-sharded."""
     if plan is None:
         plan = build_plan(parse(data))
     D = mesh.devices.size
     stream = plan.stream
 
     planes_by_comp = {}
-    qidx = {}
     for si, scan in enumerate(stream.scans):
         if scan.num_segments >= D:
-            coeffs = _decode_scan_segments(data, plan, si, mesh)
+            planes = _decode_scan_segments(data, plan, si, mesh, with_idct)
         else:
-            coeffs = _decode_scan_subseq(data, plan, si, mesh)
+            planes = _decode_scan_subseq(data, plan, si, mesh, with_idct)
         sp = plan.signature.scans[si]
-        scan_cfg = sp.cfg
-        comp_slots = tuple((c0[1], c0[2] * c0[3]) for c0 in sp.comps)
-        coeffs = undelta_dc(scan_cfg, comp_slots, coeffs)
-        t_comps = [(c0[1], c0[2], c0[3], 0) for c0 in sp.comps]
-        planes = deinterleave(scan_cfg, coeffs, sp.num_mcus_x,
-                              sp.num_mcus_y, t_comps)
         for c0, plane in zip(sp.comps, planes):
             planes_by_comp[c0[0]] = plane
-            qidx[c0[0]] = c0[6]
 
-    out = []
-    for ci, comp in enumerate(stream.components):
-        plane = planes_by_comp[ci]
-        if with_idct:
-            q = jnp.asarray(stream.qtables[qidx[ci]].astype(np.int32))
-            plane = dequant_idct_plane(plane, q)
-        out.append(np.asarray(plane[:comp.size_y, :comp.size_x]))
-    return out
+    return [np.asarray(planes_by_comp[ci][:comp.size_y, :comp.size_x])
+            for ci, comp in enumerate(stream.components)]
