@@ -110,6 +110,13 @@ class Tuning:
 
     frontier_width: int = 2048
     write_chunk: int = 256
+    # static record-slot trim of the supertile assembly prep
+    # (ops/write_pallas.py assemble_supertiles): the emit buffer is sized
+    # for the 1-bit-code worst case (~1280 slots) but real content fills
+    # ~250, so the interleave/prep would move 2.5-5x dead slots; lanes
+    # whose count exceeds the trim drain through the leftover scatter, so
+    # exactness never depends on it. Multiple of 128 (whole MXU rounds).
+    s_trim: int = 512
     straggler_width: int = 4096
     unroll: int = 0
     chain_follow: int = 0
@@ -151,6 +158,8 @@ class Tuning:
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
+        if self.s_trim <= 0 or self.s_trim % 128:
+            raise ValueError("s_trim must be a positive multiple of 128")
         if self.chain_follow < 0:
             raise ValueError("chain_follow must be >= 0 (0 = auto)")
         if self.head_width < 0:

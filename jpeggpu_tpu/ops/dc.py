@@ -28,19 +28,22 @@ def undelta_dc(cfg: ScanConfig, comp_slots, coeffs: jax.Array) -> jax.Array:
     total_du = cfg.total_mcus * cfg.du_per_mcu
     arr = coeffs.reshape(total_du, C.DATA_UNIT_SIZE)
     dc = arr[:, 0].astype(jnp.int32)
-    d = jnp.arange(total_du, dtype=jnp.int32)
-    slot = d % cfg.du_per_mcu
+    slot = jnp.arange(total_du, dtype=jnp.int32) % cfg.du_per_mcu
     seg_du = cfg.mcus_per_seg * cfg.du_per_mcu
-    seg = d // seg_du
+    nseg = -(-total_du // seg_du)
+    pad = nseg * seg_du - total_du
 
     new_dc = dc
     for off, cnt in comp_slots:
         sel = (slot >= off) & (slot < off + cnt)
         x = jnp.where(sel, dc, 0)
-        cum = jnp.cumsum(x)
-        # subtract the running total at the end of the previous segment
-        base = jnp.where(seg > 0, jnp.take(cum, jnp.maximum(seg * seg_du - 1, 0)), 0)
-        new_dc = jnp.where(sel, cum - base, new_dc)
+        # segment reset by construction: one row per restart segment,
+        # cumsum along the row (the global-cumsum-minus-gathered-base
+        # formulation cost an element-granular gather of the bases)
+        xp = jnp.pad(x, (0, pad)) if pad else x
+        cum = jnp.cumsum(xp.reshape(nseg, seg_du), axis=1)
+        cum = cum.reshape(-1)[:total_du] if pad else cum.reshape(-1)
+        new_dc = jnp.where(sel, cum, new_dc)
 
     # int16 wrap like the reference's int16 scan
     wrapped = ((new_dc + 0x8000) & 0xFFFF) - 0x8000

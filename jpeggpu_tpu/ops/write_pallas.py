@@ -239,7 +239,8 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
 # for the per-lane path; f32 Precision.HIGHEST is exact too but 7.47 ms.
 
 
-def _supertiles_kernel(s_cap, G, val_ref, pk_ref, m_ref, out_ref, acc_ref):
+def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, out_ref,
+                       acc_ref):
     K = G * _ROUND_R
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (_SUPER_D, 1), 0)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
@@ -252,18 +253,30 @@ def _supertiles_kernel(s_cap, G, val_ref, pk_ref, m_ref, out_ref, acc_ref):
             v32 = val_ref[st, pl.ds(r * K, K)][None, :].astype(jnp.int32)
             dd = jnp.where(p >= 0, p >> 6, -1)
             zz = jnp.where(p >= 0, p & 63, -1)
-            a_t = jnp.where(dd == iota_d, 1.0, 0.0).astype(jnp.bfloat16)
             bz = zz == iota_z
-            blo = jnp.where(bz, (v32 & 255).astype(jnp.float32),
-                            0.0).astype(jnp.bfloat16)
-            bhi = jnp.where(bz, (v32 >> 8).astype(jnp.float32),
-                            0.0).astype(jnp.bfloat16)
             dnn = (((1,), (1,)), ((), ()))
-            tl = jax.lax.dot_general(a_t, blo, dnn,
-                                     preferred_element_type=jnp.float32)
-            th = jax.lax.dot_general(a_t, bhi, dnn,
-                                     preferred_element_type=jnp.float32)
-            acc_ref[:] += th * 256.0 + tl
+            if dot == "int8":
+                # int8 byte planes: exact like bf16 (one record per cell);
+                # lo arrives signed-wrapped and is unwrapped after the dot
+                a_t = jnp.where(dd == iota_d, 1, 0).astype(jnp.int8)
+                blo = jnp.where(bz, v32 & 255, 0).astype(jnp.int8)
+                bhi = jnp.where(bz, v32 >> 8, 0).astype(jnp.int8)
+                tl = jax.lax.dot_general(a_t, blo, dnn,
+                                         preferred_element_type=jnp.int32)
+                th = jax.lax.dot_general(a_t, bhi, dnn,
+                                         preferred_element_type=jnp.int32)
+                acc_ref[:] += ((th << 8) + (tl & 255)).astype(jnp.float32)
+            else:
+                a_t = jnp.where(dd == iota_d, 1.0, 0.0).astype(jnp.bfloat16)
+                blo = jnp.where(bz, (v32 & 255).astype(jnp.float32),
+                                0.0).astype(jnp.bfloat16)
+                bhi = jnp.where(bz, (v32 >> 8).astype(jnp.float32),
+                                0.0).astype(jnp.bfloat16)
+                tl = jax.lax.dot_general(a_t, blo, dnn,
+                                         preferred_element_type=jnp.float32)
+                th = jax.lax.dot_general(a_t, bhi, dnn,
+                                         preferred_element_type=jnp.float32)
+                acc_ref[:] += th * 256.0 + tl
             return r + 1
 
         jax.lax.while_loop(lambda r: r * _ROUND_R < mmax, round_body,
@@ -271,7 +284,8 @@ def _supertiles_kernel(s_cap, G, val_ref, pk_ref, m_ref, out_ref, acc_ref):
         out_ref[st] = acc_ref[:].astype(jnp.int16)
 
 
-def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int):
+def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
+                            dot: str = "bf16"):
     """Interleaved records -> (n_st, _SUPER_D, 64) zig-zag supertiles.
 
     ``val_rows``/``pk_rows`` are int16[n_st, s_cap*G] with column s*G + g;
@@ -284,7 +298,7 @@ def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int):
     rec_spec = pl.BlockSpec((_SUPER_SB, sg), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_supertiles_kernel, s_cap, G),
+        functools.partial(_supertiles_kernel, s_cap, G, dot),
         grid=(n_st // _SUPER_SB,),
         in_specs=[rec_spec, rec_spec,
                   pl.BlockSpec((_SUPER_SB, 1), lambda b: (b, 0),
@@ -375,8 +389,17 @@ def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
     return jnp.clip(q, 0, max(n_st - W, 0))
 
 
+def resolve_super_dot(mode: str) -> str:
+    """Tuning.tile_dot -> supertile stage-1 dot dtype. "auto"/"f32" select
+    the byte-plane bf16 pair (f32 in this 2D form runs at DEFAULT bf16
+    precision on v5e and rounds 16-bit coefficients — BENCH.md §6 — so the
+    byte planes are load-bearing); "int8" selects the int8 pair (same
+    exactness argument, 2x MXU rate on v5e)."""
+    return "int8" if mode == "int8" else "bf16"
+
+
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
-                        s_trim: int = 512):
+                        s_trim: int = 512, dot: str = "bf16"):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
@@ -440,7 +463,7 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     mmax_st = jnp.max(jnp.where(include, m, 0).reshape(n_st, G),
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
-                                     rows(pk), mmax_st, G)
+                                     rows(pk), mmax_st, G, dot=dot)
     out2d = expand_supertiles(stiles, base, q, n_groups, W)
 
     out_flat = out2d.reshape(-1)
@@ -675,6 +698,7 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
     du0 = pos0 >> 6
     if resolve_tile_mode(cfg.tuning.tile_mode, cfg.tile_auto) == "super":
         return assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
-                                   cfg.super_w)
+                                   cfg.super_w, s_trim=cfg.tuning.s_trim,
+                                   dot=resolve_super_dot(cfg.tuning.tile_dot))
     return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
                           cfg.tuning.tile_dot)

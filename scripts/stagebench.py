@@ -207,6 +207,122 @@ def main() -> int:
               f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
 
+    # --slope2: per-stage chained probes. Each probe computes the stage's
+    # PREFIX once (traced once, runs once per dispatch) and chains K
+    # repetitions of ONLY the stage, serialized by an always-false
+    # perturbation of one stage input from the previous rep's output —
+    # stage-granular slope without re-running the whole prefix K times.
+    if "--slope2" in sys.argv:
+        from jpeggpu_tpu.ops import write_pallas as WP
+        from jpeggpu_tpu.ops.dc import undelta_dc
+        from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane
+
+        def chain(name, prefix_fn, stage_fn, K=3):
+            # stage_fn(st, bump) -> output array; bump is 0 or 1 (int32)
+            def rep_f(KK):
+                def f(i):
+                    st = prefix_fn(i)
+                    acc = jnp.int32(0)
+                    tot = jnp.int32(0)
+                    for _ in range(KK):
+                        bump = (acc == jnp.int32(0x7EADBEEF)).astype(
+                            jnp.int32)
+                        o = stage_fn(st, bump)
+                        s = o.reshape(-1)[0].astype(jnp.int32)
+                        acc = s
+                        tot = tot + s
+                    return tot.reshape(1)
+                return f
+
+            t0 = time.time()
+            ts = {}
+            for KK in (1, K):
+                exe = compile_probe(rep_f(KK))
+                ts[KK] = timeit(run(exe), iters) * 1e3
+            out[name] = (ts[K] - ts[1]) / (K - 1)
+            print(f"{name}: {out[name]:.2f} ms  (t1 {ts[1]:.1f}, "
+                  f"t{K} {ts[K]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+
+        def pre_sync(i):
+            arrs = mk_arrs(i)
+            ctx = H.make_ctx(cfg, arrs)
+            p, c, z, n = H.sync_states(cfg, arrs, ctx)
+            return i, arrs, ctx, p, c, z, n
+
+        def st_emit(st, bump):
+            i, arrs, ctx, p, c, z, n = st
+            n_off = H.symbol_offsets(cfg, arrs, n)
+            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p + bump, c,
+                                               z, n_off)
+            return wpos[0] + m
+
+        def pre_emit(i):
+            i, arrs, ctx, p, c, z, n = pre_sync(i)
+            n_off = H.symbol_offsets(cfg, arrs, n)
+            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z,
+                                               n_off)
+            seg = arrs.seg_of_subseq
+            pos0 = seg * cfg.positions_per_seg + n_off
+            du0 = pos0 >> 6
+            return val, wpos, m, du0
+
+        def st_asm(st, bump):
+            val, wpos, m, du0 = st
+            return WP.assemble_supertiles(
+                val + bump.astype(val.dtype), wpos, m, du0,
+                cfg.total_positions, cfg.super_g, cfg.super_w)
+
+        def pre_scan(i):
+            return H.decode_scan(cfg, mk_arrs(i))
+
+        def st_dc(coeffs, bump):
+            comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+            return undelta_dc(cfg, comp_slots,
+                              coeffs + bump.astype(coeffs.dtype))
+
+        def pre_dc(i):
+            return st_dc(pre_scan(i), jnp.int32(0))
+
+        def st_idct_all(coeffs, bump):
+            outs = [idct_stream_to_plane(
+                coeffs + bump.astype(coeffs.dtype), inp["qtables"][c[6]],
+                sp.num_mcus_x, sp.num_mcus_y, cfg.du_per_mcu,
+                c[1], c[2], c[3]) for c in sp.comps]
+            return sum(o[0, 0].astype(jnp.int32) for o in outs).reshape(1)
+
+        def st_noff(st, bump):
+            i, arrs, ctx, p, c, z, n = st
+            return H.symbol_offsets(cfg, arrs, n + bump)
+
+        def st_idct2_all(coeffs, bump):
+            from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane_v2
+
+            outs = [idct_stream_to_plane_v2(
+                coeffs + bump.astype(coeffs.dtype), inp["qtables"][c[6]],
+                sp.num_mcus_x, sp.num_mcus_y, cfg.du_per_mcu,
+                c[1], c[2], c[3]) for c in sp.comps]
+            return sum(o[0, 0].astype(jnp.int32) for o in outs).reshape(1)
+
+        only = None
+        if "--only" in sys.argv:
+            only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        probes2 = [
+            ("emit_ms", pre_sync, st_emit),
+            ("asm_ms", pre_emit, st_asm),
+            ("dc_ms", pre_scan, st_dc),
+            ("idct_ms", pre_dc, st_idct_all),
+            ("idct2_ms", pre_dc, st_idct2_all),
+            ("noff_ms", pre_sync, st_noff),
+        ]
+        for name, pre, st in probes2:
+            if only is not None and name not in only:
+                continue
+            chain(name, pre, st)
+        print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+        return 0
+
     if "--slope" in sys.argv:
         def s_sync(i, w):
             arrs = mk_arrs(i, w)

@@ -207,6 +207,57 @@ def main() -> int:
             print(f"{name}: {out[name]:.2f} ms  (t1 {ts[1]:.1f}, t3 "
                   f"{ts[3]:.1f}, compile+warm {time.time() - t0:.0f}s)",
                   file=sys.stderr, flush=True)
+    elif what == "super":
+        from jpeggpu_tpu.ops import write_pallas as WP
+
+        def super_rep(s_trim, dot, KK):
+            def f(i):
+                arrs = mk_arrs(i)
+                ctx = H.make_ctx(cfg0, arrs)
+                p, c, z, n = H.sync_states(cfg0, arrs, ctx)
+                n_off = H.symbol_offsets(cfg0, arrs, n)
+                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                                   n_off)
+                seg = arrs.seg_of_subseq
+                pos0 = seg * cfg0.positions_per_seg + n_off
+                du0 = pos0 >> 6
+                acc = jnp.zeros((), jnp.int16)
+                tot = jnp.int32(0)
+                for _ in range(KK):
+                    v2 = jnp.where(acc == jnp.int16(-32768), val + 1, val)
+                    out2 = WP.assemble_supertiles(
+                        v2, wpos, m, du0, cfg0.total_positions,
+                        cfg0.super_g, cfg0.super_w, s_trim=s_trim, dot=dot)
+                    s = out2[0].astype(jnp.int32) + out2[-1].astype(jnp.int32)
+                    acc = s.astype(jnp.int16)
+                    tot = tot + s
+                return tot.reshape(1)
+            return f
+
+        super_cfgs = [("512_bf16", 512, "bf16"), ("256_bf16", 256, "bf16"),
+                      ("512_int8", 512, "int8"), ("256_int8", 256, "int8"),
+                      ("384_int8", 384, "int8")]
+        for name, s_trim, dot in super_cfgs:
+            if only is not None and name not in only:
+                continue
+            t0 = time.time()
+            ts = {}
+            key = f"super_{name}_ms"
+            try:
+                for KK in (1, kreps):
+                    exe = jax.jit(super_rep(s_trim, dot, KK)).lower(
+                        inp).compile()
+                    ts[KK] = timeit(
+                        lambda: np.asarray(exe(inp))[:1], iters) * 1e3
+            except Exception as e:
+                out[key] = f"FAIL: {str(e)[:160]}"
+                print(f"{key}: FAILED {str(e)[:200]}", file=sys.stderr,
+                      flush=True)
+                continue
+            out[key] = round((ts[kreps] - ts[1]) / (kreps - 1), 2)
+            print(f"{key}: {out[key]:.2f} ms  (t1 {ts[1]:.1f}, t{kreps} "
+                  f"{ts[kreps]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
     elif what == "scan":
         scan_cfgs = [
             ("base", {}),
