@@ -58,6 +58,9 @@ def main() -> int:
         i = argv.index("--iters")
         iters = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    if "--only" in argv:  # value consumed where the probe sets read it
+        i = argv.index("--only")
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     image = args[0] if args else DEFAULT_IMAGE
     skip_full = "--skip-full" in sys.argv
@@ -207,6 +210,52 @@ def main() -> int:
               f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
 
+    # --destuff: slope of the DEVICE destuff path (ops/destuff.py) on the
+    # bench scan — the datapoint that settles host-vs-device placement
+    # (VERDICT r3 #6; reference keeps this stage on-device,
+    # decode_destuff.cu:152-361, while our production default is the
+    # threaded host pass at ~1.9 GB/s, native/destuff.cpp:11-14).
+    if "--destuff" in sys.argv:
+        from jpeggpu_tpu.ops.destuff import destuff_scan
+        from jpeggpu_tpu.pipeline import build_plan as _bp
+
+        plan2 = _bp(stream, host_destuff=False)
+        inputs2 = build_inputs(data, plan2)
+        sp2 = plan2.signature.scans[0]
+        i2 = jax.device_put(inputs2["scans"][0])
+        scan_bytes = stream.scans[0].end - stream.scans[0].begin
+
+        def rep_f(KK):
+            def f(i):
+                raw = i["raw"]
+                acc = jnp.zeros((), raw.dtype)
+                tot = jnp.int32(0)
+                for _ in range(KK):
+                    r2 = jnp.where(acc == jnp.uint8(0xAB), raw + 1, raw)
+                    words = destuff_scan(r2, i["seg_sub_offset"],
+                                         sp2.cfg.lanes)
+                    s = words[0].astype(jnp.int32)
+                    acc = s.astype(raw.dtype)
+                    tot = tot + s
+                return tot.reshape(1)
+            return f
+
+        ts = {}
+        for KK in (1, 3):
+            exe = jax.jit(rep_f(KK)).lower(i2).compile()
+            ts[KK] = timeit(lambda: np.asarray(exe(i2))[:1], iters) * 1e3
+        out["destuff_dev_ms"] = (ts[3] - ts[1]) / 2
+        out["scan_bytes"] = scan_bytes
+        out["destuff_dev_gbs"] = round(
+            scan_bytes / (out["destuff_dev_ms"] / 1e3) / 1e9, 3)
+        print(f"device destuff: {out['destuff_dev_ms']:.2f} ms = "
+              f"{out['destuff_dev_gbs']} GB/s on {scan_bytes} bytes "
+              f"(t1 {ts[1]:.1f}, t3 {ts[3]:.1f})", file=sys.stderr,
+              flush=True)
+        print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+        return 0
+
     # --slope2: per-stage chained probes. Each probe computes the stage's
     # PREFIX once (traced once, runs once per dispatch) and chains K
     # repetitions of ONLY the stage, serialized by an always-false
@@ -304,10 +353,33 @@ def main() -> int:
                 c[1], c[2], c[3]) for c in sp.comps]
             return sum(o[0, 0].astype(jnp.int32) for o in outs).reshape(1)
 
+        def pre_ctx(i):
+            arrs = mk_arrs(i)
+            return arrs, H.make_ctx(cfg, arrs)
+
+        def st_pass(st, bump):
+            arrs, ctx = st
+            blind_p = ctx.rel * 1024
+            zeros = jnp.zeros(cfg.lanes, jnp.int32)
+            p, c, z, n = H._decode_subseq_pass(cfg, arrs, ctx,
+                                               blind_p + bump, zeros, zeros,
+                                               ctx.lane_valid)
+            return p + n
+
+        def st_sync(st, bump):
+            arrs, ctx = st
+            import dataclasses as _dc
+            ctx2 = _dc.replace(ctx, rel=ctx.rel + bump * 0,
+                               seg_base_bits=ctx.seg_base_bits + bump)
+            p, c, z, n = H.sync_states(cfg, arrs, ctx2)
+            return p + n
+
         only = None
         if "--only" in sys.argv:
             only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         probes2 = [
+            ("pass_ms", pre_ctx, st_pass),
+            ("syncst_ms", pre_ctx, st_sync),
             ("emit_ms", pre_sync, st_emit),
             ("asm_ms", pre_emit, st_asm),
             ("dc_ms", pre_scan, st_dc),

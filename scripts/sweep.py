@@ -234,9 +234,108 @@ def main() -> int:
                 return tot.reshape(1)
             return f
 
+        def super_parts_rep(s_trim, dot, upto, KK):
+            # decomposition mirror of assemble_supertiles: stop after
+            # `upto` in {prep, stage1, expand} (full == the sweep above)
+            import jax.numpy as jnp2
+
+            C_DU = 64
+
+            def f(i):
+                arrs = mk_arrs(i)
+                ctx = H.make_ctx(cfg0, arrs)
+                p, c, z, n = H.sync_states(cfg0, arrs, ctx)
+                n_off = H.symbol_offsets(cfg0, arrs, n)
+                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                                   n_off)
+                seg = arrs.seg_of_subseq
+                pos0 = seg * cfg0.positions_per_seg + n_off
+                du0_raw = jax.lax.cummax(pos0 >> 6)
+                G, W = cfg0.super_g, cfg0.super_w
+                total = cfg0.total_positions
+                lanes = cfg0.lanes
+                n_st = lanes // G
+                n_groups = -(-(total // C_DU + 2) // 128)
+                acc = jnp2.zeros((), jnp2.int16)
+                tot = jnp2.int32(0)
+                for _ in range(KK):
+                    v2 = jnp2.where(acc == jnp2.int16(-32768), val + 1, val)
+                    S = min(s_trim, val.shape[0])
+                    val_t, wpos_t = v2[:S], wpos[:S]
+                    du0 = du0_raw
+                    base = du0.reshape(n_st, G)[:, 0]
+                    base_l = jnp2.broadcast_to(
+                        base[:, None], (n_st, G)).reshape(lanes)
+                    sloti = jnp2.arange(S, dtype=jnp2.int32)[:, None]
+                    valid = (sloti < m[None, :]) & (wpos_t >= 0)
+                    du = wpos_t >> 6
+                    max_du = jnp2.max(jnp2.where(valid, du, -1), axis=0)
+                    include = (m > 0) & ((max_du - base_l) < 128)
+                    q = WP._super_slab(base, max_du, include, G, n_groups, W)
+                    d_rel = du - base_l[None, :]
+                    ok = (valid & include[None, :] & (d_rel >= 0)
+                          & (d_rel < 128))
+                    pk = jnp2.where(ok, (d_rel << 6) | (wpos_t & 63),
+                                    -1).astype(jnp2.int16)
+
+                    def rows(x):
+                        return x.reshape(S, n_st, G).transpose(
+                            1, 0, 2).reshape(n_st, S * G)
+
+                    vr = rows(val_t.astype(jnp2.int16))
+                    pr = rows(pk)
+                    if upto == "prep":
+                        s = (vr[0, 0] + pr[-1, -1]).astype(jnp2.int32)
+                        acc = s.astype(jnp2.int16)
+                        tot = tot + s
+                        continue
+                    mmax_st = jnp2.max(
+                        jnp2.where(include, m, 0).reshape(n_st, G),
+                        axis=1).astype(jnp2.int32).reshape(n_st, 1)
+                    stiles = WP.supertiles_from_records(vr, pr, mmax_st, G,
+                                                        dot=dot)
+                    if upto == "stage1":
+                        s = stiles[0, 0, 0].astype(jnp2.int32) \
+                            + stiles[-1, -1, -1].astype(jnp2.int32)
+                        acc = s.astype(jnp2.int16)
+                        tot = tot + s
+                        continue
+                    out2 = WP.expand_supertiles(stiles, base, q, n_groups,
+                                                min(W, n_st))
+                    s = out2[0, 0].astype(jnp2.int32) \
+                        + out2[-1, -1].astype(jnp2.int32)
+                    acc = s.astype(jnp2.int16)
+                    tot = tot + s
+                return tot.reshape(1)
+            return f
+
         super_cfgs = [("512_bf16", 512, "bf16"), ("256_bf16", 256, "bf16"),
                       ("512_int8", 512, "int8"), ("256_int8", 256, "int8"),
                       ("384_int8", 384, "int8")]
+        part_cfgs = [("parts_prep256", 256, "int8", "prep"),
+                     ("parts_st1_256i8", 256, "int8", "stage1"),
+                     ("parts_exp_256i8", 256, "int8", "expand")]
+        for name, s_trim, dot, upto in part_cfgs:
+            if only is not None and name not in only:
+                continue
+            t0 = time.time()
+            ts = {}
+            key = f"super_{name}_ms"
+            try:
+                for KK in (1, kreps):
+                    exe = jax.jit(super_parts_rep(s_trim, dot, upto,
+                                                  KK)).lower(inp).compile()
+                    ts[KK] = timeit(
+                        lambda: np.asarray(exe(inp))[:1], iters) * 1e3
+            except Exception as e:
+                out[key] = f"FAIL: {str(e)[:160]}"
+                print(f"{key}: FAILED {str(e)[:200]}", file=sys.stderr,
+                      flush=True)
+                continue
+            out[key] = round((ts[kreps] - ts[1]) / (kreps - 1), 2)
+            print(f"{key}: {out[key]:.2f} ms  (t1 {ts[1]:.1f}, t{kreps} "
+                  f"{ts[kreps]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
         for name, s_trim, dot in super_cfgs:
             if only is not None and name not in only:
                 continue

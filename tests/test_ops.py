@@ -285,6 +285,22 @@ def test_write_tiles_matches_golden(test_image, spec, tile_mode):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+def test_write_tiles_super_int8_strim(test_image):
+    """The int8 byte-plane supertile dots and a tight record-slot trim
+    (both TPU perf knobs, v5e sweep 2026-08-20) stay bit-identical to
+    golden through the public plan path."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.pipeline import decode_jpeg_device
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3))
+    plan = build_plan(parse(data), tuning=Tuning(
+        write_mode="tiles", tile_mode="super", tile_dot="int8", s_trim=256))
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_write_tiles_slot_trim_fallback(test_image, monkeypatch):
     """With the record-slot trim forced below real lane record counts,
     over-trim lanes must drain through the leftover scatter bit-exactly
