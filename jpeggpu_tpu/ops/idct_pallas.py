@@ -169,76 +169,13 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
     return pix.reshape(h, u * 8)
 
 
-def _planar_idct_kernel(gy, coeff_ref, q_ref, lo_ref, hi_ref):
-    # coeff_ref: (64, gy, U) int16 — slot-major de-interleaved coefficients
-    #            (slot k = natural position (i, j) = (k >> 3, k & 7))
-    # q_ref:     (1, 64) int32 natural order (signed-int8 reinterpreted)
-    # lo/hi_ref: (8, gy*8?, ...) -> (8, gy, U) int32: row i's pixels j=0..3
-    #            / j=4..7 byte-packed little-endian
-    # Every vector op below is (gy, U)-shaped — gy=8 data-unit rows on
-    # sublanes, U plane columns on lanes — where the MCU-row-strip kernel
-    # above computes on (1, u) rows at 1/8 sublane utilization.
-    q = q_ref[...]
-    cols = [[_wrap16(coeff_ref[i * 8 + j].astype(jnp.int32) * q[0, i * 8 + j])
-             for j in range(8)] for i in range(8)]
-    for j in range(8):
-        res = _vector8([cols[i][j] for i in range(8)])
-        for i in range(8):
-            cols[i][j] = res[i]
-    for i in range(8):
-        cols[i] = list(_vector8(cols[i]))
-    for i in range(8):
-        b = [jnp.clip(_wrap16(cols[i][j] + 128), 0, 255) for j in range(8)]
-        lo_ref[i] = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-        hi_ref[i] = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
-
-
-def idct_stream_to_plane_v2(coeffs: jax.Array, qtable: jax.Array,
-                            num_mcus_x: int, num_mcus_y: int,
-                            du_per_mcu: int, off: int, ssx: int,
-                            ssy: int) -> jax.Array:
-    """Planar-major variant of :func:`idct_stream_to_plane`.
-
-    The component's data units are first de-interleaved to a slot-major
-    (64, rows, cols) layout by ONE XLA transpose; the kernel then runs
-    every fixed-point op on full (8, cols) tiles — 8x the sublane
-    utilization of the MCU-row-strip kernel, at the price of the XLA
-    relayout. Bit-identical output."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    my, mx = num_mcus_y, num_mcus_x
-    x4 = coeffs.reshape(my, mx, du_per_mcu, 64)
-    xc = x4[:, :, off:off + ssy * ssx, :].reshape(my, mx, ssy, ssx, 64)
-    R, U = my * ssy, mx * ssx
-    xt = xc.transpose(4, 0, 2, 1, 3).reshape(64, R, U)
-    gy = 8
-    rpad = -(-R // gy) * gy
-    if rpad != R:
-        xt = jnp.pad(xt, ((0, 0), (0, rpad - R), (0, 0)))
-
-    q = qtable.reshape(1, 64).astype(jnp.int32)
-    q = ((q + 0x80) & 0xFF) - 0x80  # signed-int8 quirk (idct.cu:179)
-
-    out_spec = pl.BlockSpec((8, gy, U), lambda g: (0, g, 0),
-                            memory_space=pltpu.VMEM)
-    lo, hi = pl.pallas_call(
-        partial(_planar_idct_kernel, gy),
-        grid=(rpad // gy,),
-        in_specs=[
-            pl.BlockSpec((64, gy, U), lambda g: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((8, rpad, U), jnp.int32)] * 2,
-        interpret=jax.default_backend() == "cpu",
-    )(xt, q)
-    # (8i, R, U) lo/hi word pairs -> (R, 8i, U, 8j) pixel bytes
-    words = jnp.stack([lo[:, :R], hi[:, :R]], axis=-1)  # (8, R, U, 2)
-    pix = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (8, R, U, 2, 4)
-    return pix.transpose(1, 0, 2, 3, 4).reshape(R * 8, U * 8)
+# A "planar-major" IDCT variant (ONE XLA transpose to slot-major
+# (64, rows, cols), then full (8, cols)-tile kernel ops at 8x the sublane
+# utilization of the strip kernel above) was built and measured on v5e
+# 2026-08-20: the XLA de-interleave transpose dominates (6.45 ms vs 0.56 ms
+# for the strip kernel on the 12 MP bench), so the strip kernel's
+# block-index-map addressing is the right trade. Don't revisit without
+# fixing the transpose first (e.g. a transposed assembly output).
 
 
 def dequant_idct_blocks_pallas(coeffs: jax.Array, qtable: jax.Array) -> jax.Array:

@@ -344,15 +344,6 @@ def main() -> int:
             i, arrs, ctx, p, c, z, n = st
             return H.symbol_offsets(cfg, arrs, n + bump)
 
-        def st_idct2_all(coeffs, bump):
-            from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane_v2
-
-            outs = [idct_stream_to_plane_v2(
-                coeffs + bump.astype(coeffs.dtype), inp["qtables"][c[6]],
-                sp.num_mcus_x, sp.num_mcus_y, cfg.du_per_mcu,
-                c[1], c[2], c[3]) for c in sp.comps]
-            return sum(o[0, 0].astype(jnp.int32) for o in outs).reshape(1)
-
         def pre_ctx(i):
             arrs = mk_arrs(i)
             return arrs, H.make_ctx(cfg, arrs)
@@ -384,7 +375,6 @@ def main() -> int:
             ("asm_ms", pre_emit, st_asm),
             ("dc_ms", pre_scan, st_dc),
             ("idct_ms", pre_dc, st_idct_all),
-            ("idct2_ms", pre_dc, st_idct2_all),
             ("noff_ms", pre_sync, st_noff),
         ]
         for name, pre, st in probes2:
