@@ -129,6 +129,11 @@ class Tuning:
     hv_lookup: str = "auto"
     category: str = "auto"
     refill: str = "auto"
+    # lane-axis fold of the Pallas symbol-loop kernels: "auto" folds the
+    # (lanes,) state vectors to (8, w/8) inside the kernels whenever the
+    # shape-generic formulations are active (1D vectors lower to (1, lanes)
+    # vregs — one of 8 sublanes useful); "off" keeps the 1D layout
+    lane2d: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -155,6 +160,9 @@ class Tuning:
         if self.refill not in ("auto", "onehot", "shift"):
             raise ValueError(
                 f"refill must be auto|onehot|shift, got {self.refill!r}")
+        if self.lane2d not in ("auto", "off"):
+            raise ValueError(
+                f"lane2d must be auto|off, got {self.lane2d!r}")
         for name in ("frontier_width", "write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -297,7 +297,9 @@ def _refill_buf(cfg: ScanConfig, ctx: _Ctx, p: jax.Array):
                 shifted = jnp.concatenate([x[s:], zero_rows[:s]], axis=0)
             else:
                 shifted = zero_rows
-            x = jnp.where(bit[None, :], shifted, x)
+            # bit[None] (not bit[None, :]): the lane axis may be folded 2D
+            # ((8, w/8) sublane-major inside the Pallas kernels)
+            x = jnp.where(bit[None], shifted, x)
             s >>= 1
         for k in range(_BUF_W):
             wk = jax.lax.bitcast_convert_type(

@@ -62,6 +62,28 @@ def _block(width: int, cap: int) -> int:
     return width
 
 
+def _use_2d(cfg) -> bool:
+    """Fold the lane axis to (8, w/8) inside the kernels?
+
+    1D (lanes,) state vectors lower to (1, lanes) vregs — ONE of 8 sublanes
+    useful — so every per-symbol vector op pays 8x its useful width. The 2D
+    fold costs nothing (a bitcast reshape at the boundary; all lane
+    coupling — rolls, shifts — happens outside the kernels) and recovers
+    full sublanes. Eligible only with the shape-generic symbol-loop
+    formulations (the TPU defaults); the one-hot/mask forms carry
+    (rows, lanes)-shaped constructions that assume a 1D lane axis."""
+    from . import huffman as H
+
+    mode = cfg.tuning.lane2d
+    if mode == "off":
+        return False
+    eligible = (cfg.fast_tables
+                and H._resolve_refill(cfg) == "shift"
+                and H._resolve_hv_lookup(cfg) == "tree"
+                and H._resolve_category(cfg) == "bsearch")
+    return eligible
+
+
 def _row_spec(w):
     return pl.BlockSpec((1, w), lambda b: (0, b), memory_space=pltpu.VMEM)
 
@@ -78,24 +100,25 @@ def _make_ctx_ns(cfg, window, we, sb, es, lw, hv, lim, dvsm, vsm0):
         end_subseq=es, lane_word0=lw, limits=lim, dvsm=dvsm, vsm0=vsm0)
 
 
-def _sync_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
-                 lim_ref, dvsm_ref, vsm0_ref, mc_ref, vsm_ref,
+def _sync_kernel(cfg, two_d, window_ref, we_ref, sb_ref, es_ref, lw_ref,
+                 hv_ref, lim_ref, dvsm_ref, vsm0_ref, mc_ref, vsm_ref,
                  p0_ref, c0_ref, z0_ref, a0_ref,
                  p_out, c_out, z_out, n_out, st_ref):
     from . import huffman as H
 
-    ctx = _make_ctx_ns(cfg, window_ref[:], we_ref[0], sb_ref[0], es_ref[0],
-                       lw_ref[0], hv_ref[:], lim_ref[:], dvsm_ref[:],
-                       vsm0_ref[0])
+    rd = (lambda r: r[...]) if two_d else (lambda r: r[0])
+    ctx = _make_ctx_ns(cfg, window_ref[:], rd(we_ref), rd(sb_ref),
+                       rd(es_ref), rd(lw_ref), hv_ref[:], lim_ref[:],
+                       dvsm_ref[:], vsm0_ref[0])
     arrs = SimpleNamespace(maxcode=mc_ref[:], vsm=vsm_ref[:])
-    active0 = (a0_ref[0] != 0) & (p0_ref[0] < ctx.end_subseq)
+    active0 = (rd(a0_ref) != 0) & (rd(p0_ref) < ctx.end_subseq)
     # per-lane loop state lives in a VMEM scratch; the while_loop carries
     # only a scalar (Mosaic cannot legalize vector loop carries in the
     # layouts this kernel produces)
-    st_ref[0] = p0_ref[0]
-    st_ref[1] = c0_ref[0]
-    st_ref[2] = z0_ref[0]
-    st_ref[3] = jnp.zeros_like(p0_ref[0])
+    st_ref[0] = rd(p0_ref)
+    st_ref[1] = rd(c0_ref)
+    st_ref[2] = rd(z0_ref)
+    st_ref[3] = jnp.zeros_like(rd(p0_ref))
     st_ref[4] = active0.astype(jnp.int32)
 
     def body(_):
@@ -118,27 +141,59 @@ def _sync_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,
         return jnp.any(active)
 
     jax.lax.while_loop(lambda go: go, body, jnp.any(active0))
-    p_out[0] = st_ref[0]
-    c_out[0] = st_ref[1]
-    z_out[0] = st_ref[2]
-    n_out[0] = st_ref[3]
+    if two_d:
+        p_out[...] = st_ref[0]
+        c_out[...] = st_ref[1]
+        z_out[...] = st_ref[2]
+        n_out[...] = st_ref[3]
+    else:
+        p_out[0] = st_ref[0]
+        c_out[0] = st_ref[1]
+        z_out[0] = st_ref[2]
+        n_out[0] = st_ref[3]
 
 
 def subseq_pass(cfg, arrs, ctx, p0, c0, z0, active0):
     """Pallas drop-in for ops.huffman._decode_subseq_pass_xla.
 
     Decodes each lane's own subsequence from the given start state entirely
-    in VMEM. Returns (p, c, z, n).
-    """
+    in VMEM. Returns (p, c, z, n). With Tuning.lane2d (the default on the
+    TPU knob combo) the lane axis is folded to (8, w/8) across the kernel
+    boundary — a free bitcast reshape that recovers the 7/8 of sublane
+    throughput the 1D (1, lanes) layout wastes."""
     width = p0.shape[0]
-    w = _block(width, _SYNC_BLOCK)
-    grid = (width // w,)
+    two_d = _use_2d(cfg) and width % 8 == 0
+    if two_d:
+        w = _block(width // 8, _SYNC_BLOCK // 8) * 8
+        w8 = w // 8
+        grid = (width // w,)
 
-    def row(x, dtype=jnp.int32):
-        return x.astype(dtype).reshape(1, width)
+        def row(x, dtype=jnp.int32):
+            return x.astype(dtype).reshape(8, width // 8)
+
+        lane_spec = pl.BlockSpec((8, w8), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+        win_in = ctx.window.reshape(34, 8, width // 8)
+        win_spec = pl.BlockSpec((34, 8, w8), lambda b: (0, 0, b),
+                                memory_space=pltpu.VMEM)
+        out_sh = (8, width // 8)
+        scratch = pltpu.VMEM((5, 8, w8), jnp.int32)
+    else:
+        w = _block(width, _SYNC_BLOCK)
+        grid = (width // w,)
+
+        def row(x, dtype=jnp.int32):
+            return x.astype(dtype).reshape(1, width)
+
+        lane_spec = _row_spec(w)
+        win_in = ctx.window
+        win_spec = pl.BlockSpec((34, w), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)
+        out_sh = (1, width)
+        scratch = pltpu.VMEM((5, w), jnp.int32)
 
     args = (
-        ctx.window,
+        win_in,
         row(ctx.word_end), row(ctx.seg_base_bits), row(ctx.end_subseq),
         row(ctx.lane_word0),
         ctx.hv_packed, ctx.limits, ctx.dvsm, ctx.vsm0.reshape(1, -1),
@@ -146,50 +201,54 @@ def subseq_pass(cfg, arrs, ctx, p0, c0, z0, active0):
         row(p0), row(c0), row(z0), row(active0),
     )
     in_specs = [
-        pl.BlockSpec((34, w), lambda b: (0, b), memory_space=pltpu.VMEM),
-        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
+        win_spec,
+        lane_spec, lane_spec, lane_spec, lane_spec,
         _full_spec(ctx.hv_packed.shape), _full_spec(ctx.limits.shape),
         _full_spec(ctx.dvsm.shape), _full_spec((1, ctx.vsm0.shape[0])),
         _full_spec(arrs.maxcode.shape), _full_spec(arrs.vsm.shape),
-        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
+        lane_spec, lane_spec, lane_spec, lane_spec,
     ]
-    out_shape = [jax.ShapeDtypeStruct((1, width), jnp.int32)] * 4
-    out_specs = [_row_spec(w)] * 4
+    out_shape = [jax.ShapeDtypeStruct(out_sh, jnp.int32)] * 4
+    out_specs = [lane_spec] * 4
     p, c, z, n = pl.pallas_call(
-        functools.partial(_sync_kernel, cfg),
+        functools.partial(_sync_kernel, cfg, two_d),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((5, w), jnp.int32)],
+        scratch_shapes=[scratch],
         interpret=_interpret(),
     )(*args)
+    if two_d:
+        return (p.reshape(width), c.reshape(width), z.reshape(width),
+                n.reshape(width))
     return p[0], c[0], z[0], n[0]
 
 
 _EMIT_BLOCK = 512
 
 
-def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
-                 hv_ref, lim_ref, dvsm_ref, vsm0_ref, mc_ref, vsm_ref,
-                 p0_ref, c0_ref, z0_ref, pos0_ref, bound_ref, a0_ref,
-                 val_out, wpos_out, m_out, st_ref):
+def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
+                 lw_ref, hv_ref, lim_ref, dvsm_ref, vsm0_ref, mc_ref,
+                 vsm_ref, p0_ref, c0_ref, z0_ref, pos0_ref, bound_ref,
+                 a0_ref, val_out, wpos_out, m_out, st_ref):
     from . import huffman as H
 
-    ctx = _make_ctx_ns(cfg, window_ref[:], we_ref[0], sb_ref[0], es_ref[0],
-                       lw_ref[0], hv_ref[:], lim_ref[:], dvsm_ref[:],
-                       vsm0_ref[0])
+    rd = (lambda r: r[...]) if two_d else (lambda r: r[0])
+    ctx = _make_ctx_ns(cfg, window_ref[:], rd(we_ref), rd(sb_ref),
+                       rd(es_ref), rd(lw_ref), hv_ref[:], lim_ref[:],
+                       dvsm_ref[:], vsm0_ref[0])
     arrs = SimpleNamespace(maxcode=mc_ref[:], vsm=vsm_ref[:])
-    bound = bound_ref[0]
+    bound = rd(bound_ref)
     unroll = H._resolve_unroll(cfg)
-    active0 = ((a0_ref[0] != 0) & (p0_ref[0] < ctx.end_subseq)
-               & (pos0_ref[0] < bound))
-    st_ref[0] = p0_ref[0]
-    st_ref[1] = c0_ref[0]
-    st_ref[2] = z0_ref[0]
-    st_ref[3] = pos0_ref[0]
+    active0 = ((rd(a0_ref) != 0) & (rd(p0_ref) < ctx.end_subseq)
+               & (rd(pos0_ref) < bound))
+    st_ref[0] = rd(p0_ref)
+    st_ref[1] = rd(c0_ref)
+    st_ref[2] = rd(z0_ref)
+    st_ref[3] = rd(pos0_ref)
     st_ref[4] = active0.astype(jnp.int32)
-    st_ref[5] = jnp.zeros_like(p0_ref[0])  # m: one past last written slot
+    st_ref[5] = jnp.zeros_like(rd(p0_ref))  # m: one past last written slot
 
     def body(carry):
         k, _ = carry
@@ -222,8 +281,8 @@ def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
             m = jnp.where(commit, k * unroll + u + 1, m)
         # slots never reached stay uninitialized: every consumer gates on
         # slot < m (per lane), which only covers written rows
-        val_out[pl.ds(k * unroll, unroll), :] = jnp.stack(rows_v)
-        wpos_out[pl.ds(k * unroll, unroll), :] = jnp.stack(rows_w)
+        val_out[pl.ds(k * unroll, unroll)] = jnp.stack(rows_v)
+        wpos_out[pl.ds(k * unroll, unroll)] = jnp.stack(rows_w)
         st_ref[0] = p
         st_ref[1] = c
         st_ref[2] = z
@@ -235,7 +294,10 @@ def _emit_kernel(cfg, s_cap, window_ref, we_ref, sb_ref, es_ref, lw_ref,
 
     jax.lax.while_loop(lambda s: s[1], body,
                        (jnp.int32(0), jnp.any(active0)))
-    m_out[0] = st_ref[5]
+    if two_d:
+        m_out[...] = st_ref[5]
+    else:
+        m_out[0] = st_ref[5]
 
 
 def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
@@ -244,17 +306,49 @@ def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
     Decodes each lane's subsequence from its synced start state entirely in
     VMEM, emitting (value, position) densely at (slot, lane). Returns
     (val int32[s_cap, lanes], wpos int32[s_cap, lanes], m int32[lanes]) —
-    the caller casts val to int16.
+    the caller casts val to int16. Lane axis folded (8, w/8) in-kernel when
+    eligible (see subseq_pass); the emission buffers come back with the
+    fold undone by a free reshape.
     """
     width = pos0.shape[0]
-    w = _block(width, _EMIT_BLOCK)
-    grid = (width // w,)
+    two_d = _use_2d(cfg) and width % 8 == 0
+    if two_d:
+        w = _block(width // 8, _EMIT_BLOCK // 4) * 8
+        w8 = w // 8
+        grid = (width // w,)
 
-    def row(x):
-        return x.astype(jnp.int32).reshape(1, width)
+        def row(x):
+            return x.astype(jnp.int32).reshape(8, width // 8)
+
+        lane_spec = pl.BlockSpec((8, w8), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+        win_in = ctx.window.reshape(34, 8, width // 8)
+        win_spec = pl.BlockSpec((34, 8, w8), lambda b: (0, 0, b),
+                                memory_space=pltpu.VMEM)
+        emit_sh = (s_cap, 8, width // 8)
+        emit_spec = pl.BlockSpec((s_cap, 8, w8), lambda b: (0, 0, b),
+                                 memory_space=pltpu.VMEM)
+        m_sh = (8, width // 8)
+        scratch = pltpu.VMEM((6, 8, w8), jnp.int32)
+    else:
+        w = _block(width, _EMIT_BLOCK)
+        grid = (width // w,)
+
+        def row(x):
+            return x.astype(jnp.int32).reshape(1, width)
+
+        lane_spec = _row_spec(w)
+        win_in = ctx.window
+        win_spec = pl.BlockSpec((34, w), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)
+        emit_sh = (s_cap, width)
+        emit_spec = pl.BlockSpec((s_cap, w), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+        m_sh = (1, width)
+        scratch = pltpu.VMEM((6, w), jnp.int32)
 
     args = (
-        ctx.window,
+        win_in,
         row(ctx.word_end), row(ctx.seg_base_bits), row(ctx.end_subseq),
         row(ctx.lane_word0),
         ctx.hv_packed, ctx.limits, ctx.dvsm, ctx.vsm0.reshape(1, -1),
@@ -262,36 +356,34 @@ def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
         row(sp), row(sc), row(sz), row(pos0), row(bound_full), row(active0),
     )
     in_specs = [
-        pl.BlockSpec((34, w), lambda b: (0, b), memory_space=pltpu.VMEM),
-        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
+        win_spec,
+        lane_spec, lane_spec, lane_spec, lane_spec,
         _full_spec(ctx.hv_packed.shape), _full_spec(ctx.limits.shape),
         _full_spec(ctx.dvsm.shape), _full_spec((1, ctx.vsm0.shape[0])),
         _full_spec(arrs.maxcode.shape), _full_spec(arrs.vsm.shape),
-        _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w), _row_spec(w),
-        _row_spec(w),
+        lane_spec, lane_spec, lane_spec, lane_spec, lane_spec, lane_spec,
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((s_cap, width), jnp.int32),
-        jax.ShapeDtypeStruct((s_cap, width), jnp.int32),
-        jax.ShapeDtypeStruct((1, width), jnp.int32),
+        jax.ShapeDtypeStruct(emit_sh, jnp.int32),
+        jax.ShapeDtypeStruct(emit_sh, jnp.int32),
+        jax.ShapeDtypeStruct(m_sh, jnp.int32),
     ]
-    out_specs = [
-        pl.BlockSpec((s_cap, w), lambda b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((s_cap, w), lambda b: (0, b), memory_space=pltpu.VMEM),
-        _row_spec(w),
-    ]
+    out_specs = [emit_spec, emit_spec, lane_spec]
     val, wpos, m = pl.pallas_call(
-        functools.partial(_emit_kernel, cfg, s_cap),
+        functools.partial(_emit_kernel, cfg, s_cap, two_d),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((6, w), jnp.int32)],
+        scratch_shapes=[scratch],
         # two (s_cap, block) emission buffers live in VMEM per block
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
+    if two_d:
+        return (val.reshape(s_cap, width), wpos.reshape(s_cap, width),
+                m.reshape(width))
     return val, wpos, m[0]
 
 

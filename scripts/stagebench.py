@@ -61,6 +61,11 @@ def main() -> int:
     if "--only" in argv:  # value consumed where the probe sets read it
         i = argv.index("--only")
         argv = argv[:i] + argv[i + 2:]
+    lane2d = "auto"
+    if "--lane2d" in argv:
+        i = argv.index("--lane2d")
+        lane2d = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     image = args[0] if args else DEFAULT_IMAGE
     skip_full = "--skip-full" in sys.argv
@@ -68,7 +73,7 @@ def main() -> int:
     data = open(image, "rb").read()
     stream = parse(data)
     mp = stream.size_x * stream.size_y / 1e6
-    plan = build_plan(stream)
+    plan = build_plan(stream, tuning=Tuning(lane2d=lane2d))
     inputs = build_inputs(data, plan)
     sp = plan.signature.scans[0]
     cfg = sp.cfg

@@ -210,7 +210,7 @@ def main() -> int:
     elif what == "super":
         from jpeggpu_tpu.ops import write_pallas as WP
 
-        def super_rep(s_trim, dot, KK):
+        def super_rep(s_trim, dot, KK, W=None):
             def f(i):
                 arrs = mk_arrs(i)
                 ctx = H.make_ctx(cfg0, arrs)
@@ -227,7 +227,8 @@ def main() -> int:
                     v2 = jnp.where(acc == jnp.int16(-32768), val + 1, val)
                     out2 = WP.assemble_supertiles(
                         v2, wpos, m, du0, cfg0.total_positions,
-                        cfg0.super_g, cfg0.super_w, s_trim=s_trim, dot=dot)
+                        cfg0.super_g, cfg0.super_w if W is None else W,
+                        s_trim=s_trim, dot=dot)
                     s = out2[0].astype(jnp.int32) + out2[-1].astype(jnp.int32)
                     acc = s.astype(jnp.int16)
                     tot = tot + s
@@ -311,7 +312,10 @@ def main() -> int:
 
         super_cfgs = [("512_bf16", 512, "bf16"), ("256_bf16", 256, "bf16"),
                       ("512_int8", 512, "int8"), ("256_int8", 256, "int8"),
-                      ("384_int8", 384, "int8")]
+                      ("384_int8", 384, "int8"),
+                      ("256_int8_w6", 256, "int8", 6),
+                      ("256_int8_w4", 256, "int8", 4),
+                      ("384_int8_w6", 384, "int8", 6)]
         part_cfgs = [("parts_prep256", 256, "int8", "prep"),
                      ("parts_st1_256i8", 256, "int8", "stage1"),
                      ("parts_exp_256i8", 256, "int8", "expand")]
@@ -336,15 +340,16 @@ def main() -> int:
             print(f"{key}: {out[key]:.2f} ms  (t1 {ts[1]:.1f}, t{kreps} "
                   f"{ts[kreps]:.1f}, compile+warm {time.time() - t0:.0f}s)",
                   file=sys.stderr, flush=True)
-        for name, s_trim, dot in super_cfgs:
+        for name, s_trim, dot, *wext in super_cfgs:
             if only is not None and name not in only:
                 continue
+            W = wext[0] if wext else None
             t0 = time.time()
             ts = {}
             key = f"super_{name}_ms"
             try:
                 for KK in (1, kreps):
-                    exe = jax.jit(super_rep(s_trim, dot, KK)).lower(
+                    exe = jax.jit(super_rep(s_trim, dot, KK, W=W)).lower(
                         inp).compile()
                     ts[KK] = timeit(
                         lambda: np.asarray(exe(inp))[:1], iters) * 1e3

@@ -83,6 +83,29 @@ def test_bitexact_tpu_symbol_formulations(test_image, kw):
     assert all(np.array_equal(a, b) for a, b in zip(g, d))
 
 
+def test_bitexact_lane2d_pallas():
+    """The (8, w/8) lane-axis fold of the Pallas symbol-loop kernels
+    (Tuning.lane2d, the TPU default with the tree/bsearch/shift combo) is
+    bit-identical to golden in interpret mode. Small image + low unroll:
+    interpret-mode tracing of the tree formulation is expensive."""
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import huffman_pallas as HP
+    from jpeggpu_tpu.pipeline import build_plan, decode_jpeg_device
+    from jpeggpu_tpu.reader import parse
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (24, 16, 3)).astype(np.uint8)
+    data = encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)],
+                                  restart_interval=2))
+    tun = Tuning(hv_lookup="tree", category="bsearch", refill="shift",
+                 entropy_backend="pallas", unroll=4)
+    plan = build_plan(parse(data), tuning=tun)
+    assert HP._use_2d(plan.signature.scans[0].cfg)
+    d = decode_jpeg_device(data, plan=plan)
+    g = golden.decode(data)
+    assert all(np.array_equal(a, b) for a, b in zip(g, d))
+
+
 def test_bitexact_gray(test_image):
     _check(encode(test_image[..., 0]))
 
