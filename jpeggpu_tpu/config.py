@@ -108,7 +108,12 @@ class Tuning:
         14.96 base) and onehot on CPU.
     """
 
-    frontier_width: int = 2048
+    # 0 = auto: full-width masked Jacobi rounds to convergence (no
+    # compaction) where the lane2d fold makes a masked pass cheaper than
+    # one compacted round's XLA gathers (TPU, measured v5e 2026-08-20);
+    # 2048-lane compacted tiers elsewhere (ops/huffman.py
+    # _resolve_frontier_width)
+    frontier_width: int = 0
     write_chunk: int = 256
     # static record-slot trim of the supertile assembly prep
     # (ops/write_pallas.py assemble_supertiles): the emit buffer is sized
@@ -163,9 +168,11 @@ class Tuning:
         if self.lane2d not in ("auto", "off"):
             raise ValueError(
                 f"lane2d must be auto|off, got {self.lane2d!r}")
-        for name in ("frontier_width", "write_chunk", "straggler_width"):
+        for name in ("write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
+        if self.frontier_width < 0:
+            raise ValueError("frontier_width must be >= 0 (0 = auto)")
         if self.s_trim <= 0 or self.s_trim % 128:
             raise ValueError("s_trim must be a positive multiple of 128")
         if self.chain_follow < 0:

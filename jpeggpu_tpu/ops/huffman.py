@@ -742,6 +742,27 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return p, c, z, n
 
 
+def _resolve_frontier_width(cfg: ScanConfig) -> int:
+    """Tuning.frontier_width; 0 = auto.
+
+    Auto selects NO compaction (full-width masked Jacobi rounds to
+    convergence) when the lane2d fold is active: a masked full pass costs
+    ~0.14 ms on v5e (2026-08-20) while ONE compacted chain-follow round
+    pays ~0.7 ms of XLA column gathers — on real content (frontier halves
+    per round, max chain depth ~15, BENCH.md) ~15 full rounds beat ~9
+    gather rounds by ~3x. On CPU/1D backends a pass is the expensive part
+    and compaction wins; auto keeps the 2048-lane tiers there."""
+    fw = cfg.tuning.frontier_width
+    if fw != 0:
+        return fw
+    from . import huffman_pallas
+
+    use2d = (_resolve_entropy_backend(cfg) == "pallas"
+             and huffman_pallas._use_2d(cfg)
+             and jax.default_backend() != "cpu")
+    return 0 if use2d else 2048
+
+
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                 frontier_width: int | None = None, diag: bool = False,
                 entry=None):
@@ -767,7 +788,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     """
     lanes = cfg.lanes
     if frontier_width is None:
-        frontier_width = cfg.tuning.frontier_width
+        frontier_width = _resolve_frontier_width(cfg)
     K = min(frontier_width, lanes)
     blind_p = ctx.rel * C.SUBSEQ_SIZE_BITS
     zeros = jnp.zeros(lanes, jnp.int32)
@@ -820,10 +841,10 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     F = cfg.tuning.chain_follow
     if F == 0:  # auto: the F-phase round body is pure compile cost on CPU
         F = 1 if jax.default_backend() == "cpu" else 4
-    F = min(F, K)
-    Fw = min(cfg.tuning.wide_follow or 1, K)
-    Kc = cfg.tuning.head_width or max(1, K // F)
-    Kc = min(Kc, lanes, K)
+    F = min(F, max(K, 1))
+    Fw = min(cfg.tuning.wide_follow or 1, max(K, 1))
+    Kc = cfg.tuning.head_width or max(1, K // max(F, 1))
+    Kc = min(Kc, lanes, max(K, 1))
 
     # lanes eligible for the frontier; lane 0's predecessor is the fixed
     # `entry` (never changes within one call), so it never re-enters — and
@@ -848,6 +869,13 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     p, c, z, n, delta, it0 = jax.lax.while_loop(
         full_cond, full_body, (p, c, z, n, delta, jnp.int32(0)))
+
+    if frontier_width == 0:
+        # full-width Jacobi to convergence (K == 0: the phase-A loop above
+        # ran until the frontier was empty); no compacted tiers at all
+        if diag:
+            return p, c, z, n, it0, it0
+        return p, c, z, n
 
     def compact_round(p, c, z, n, head, width, follow):
         """One chain-follow round over up to `width` local chain heads,

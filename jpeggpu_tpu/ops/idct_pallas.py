@@ -83,13 +83,20 @@ def _idct_kernel(coeff_ref, q_ref, out_ref):
     out_ref[...] = pix
 
 
-def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref,
-                        lo_ref, hi_ref):
+def _stream_idct_kernel(gy_n, ssx, ssy, off, with_dc, *refs):
     # coeff_ref: (GY, mx, du_per_mcu, 64) int16 — raw stream-order MCU rows
+    # dc_ref:    (GY, mx, du_per_mcu) int16 — un-deltaed DC side input
+    #            (present iff with_dc): slot 0 of each unit is overridden
+    #            from here, so the DC un-delta never rewrites the stream
     # q_ref:     (8, 8) int32 (signed-int8 reinterpreted)
     # lo/hi_ref: (GY*ssy*8, mx*ssx) int32 — pixels j=0..3 / j=4..7 of each
     #            unit byte-packed little-endian (Mosaic has no (u, 8)->(8u)
     #            interleave; the byte lanes provide it for free)
+    if with_dc:
+        coeff_ref, dc_ref, q_ref, lo_ref, hi_ref = refs
+    else:
+        coeff_ref, q_ref, lo_ref, hi_ref = refs
+        dc_ref = None
     q = q_ref[...]
     mx = coeff_ref.shape[1]
     u = mx * ssx
@@ -101,6 +108,9 @@ def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref,
             xt = x.reshape(u, 64).astype(jnp.int32).T  # (64, u)
             dq = _wrap16(xt.reshape(8, 8, u) * q[:, :, None])
             cols = [[dq[i, j, :] for j in range(8)] for i in range(8)]
+            if dc_ref is not None:
+                dcb = dc_ref[gy, :, lo:lo + ssx].reshape(u).astype(jnp.int32)
+                cols[0][0] = _wrap16(dcb * q[0, 0])
             for j in range(8):
                 res = _vector8([cols[i][j] for i in range(8)])
                 for i in range(8):
@@ -119,7 +129,8 @@ def _stream_idct_kernel(gy_n, ssx, ssy, off, coeff_ref, q_ref,
 
 def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
                          num_mcus_x: int, num_mcus_y: int, du_per_mcu: int,
-                         off: int, ssx: int, ssy: int) -> jax.Array:
+                         off: int, ssx: int, ssy: int,
+                         dc_override: jax.Array | None = None) -> jax.Array:
     """Fused de-interleave + dequant + IDCT: stream-order coefficients
     straight to a component's uint8 pixel plane.
 
@@ -132,8 +143,12 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
 
     Args:
       coeffs: int16[num_mcus * du_per_mcu * 64] natural-order stream
-        (post DC un-delta).
+        (post DC un-delta, or raw-DC with ``dc_override``).
       qtable: raw DQT bytes, natural order, (64,).
+      dc_override: optional int16[num_mcus * du_per_mcu] of un-deltaed DC
+        values (ops.dc.undelta_dc_values); slot 0 of each data unit reads
+        from here instead of the stream, so the DC stage never rewrites
+        the 2-byte-per-position coefficient buffer.
     Returns uint8[(num_mcus_y*ssy*8, num_mcus_x*ssx*8)].
     """
     from jax.experimental import pallas as pl
@@ -148,20 +163,27 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
     u = num_mcus_x * ssx
     word_spec = pl.BlockSpec((gy_n * ssy * 8, u), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
+    with_dc = dc_override is not None
+    ins = [x]
+    in_specs = [pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu, 64),
+                             lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if with_dc:
+        ins.append(dc_override.reshape(num_mcus_y, num_mcus_x, du_per_mcu))
+        in_specs.append(pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu),
+                                     lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    ins.append(q)
+    in_specs.append(pl.BlockSpec((8, 8), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM))
     lo, hi = pl.pallas_call(
-        partial(_stream_idct_kernel, gy_n, ssx, ssy, off),
+        partial(_stream_idct_kernel, gy_n, ssx, ssy, off, with_dc),
         grid=(num_mcus_y // gy_n,),
-        in_specs=[
-            pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu, 64),
-                         lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[word_spec, word_spec],
         out_shape=[jax.ShapeDtypeStruct((h, u), jnp.int32)] * 2,
         interpret=jax.default_backend() == "cpu",
-    )(x, q)
+    )(*ins)
     # interleave the lo/hi words per unit, then let the byte lanes fan out:
     # (h, u, 2) int32 -> (h, u, 2, 4) uint8 == (h, u*8) plane rows
     words = jnp.stack([lo, hi], axis=-1)

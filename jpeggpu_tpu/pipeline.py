@@ -338,17 +338,23 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
         )
         coeffs = decode_scan(cfg, arrs)
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
-        with jax.named_scope("jpeggpu.dc"):
-            coeffs = undelta_dc(cfg, comp_slots, coeffs)
         if fused_tail:
+            from .ops.dc import undelta_dc_values
             from .ops.idct_pallas import idct_stream_to_plane
 
+            # DC un-delta as a side vector: the fused IDCT kernel overrides
+            # slot 0 from it, so the DC stage never rewrites the 37 MB
+            # coefficient stream (the .at[:, 0].set form costs a full copy)
+            with jax.named_scope("jpeggpu.dc"):
+                dcv = undelta_dc_values(cfg, comp_slots, coeffs)
             with jax.named_scope("jpeggpu.idct_fused"):
                 for c in sp.comps:
                     pix[c[0]] = idct_stream_to_plane(
                         coeffs, qtables[c[6]], sp.num_mcus_x, sp.num_mcus_y,
-                        cfg.du_per_mcu, c[1], c[2], c[3])
+                        cfg.du_per_mcu, c[1], c[2], c[3], dc_override=dcv)
             continue
+        with jax.named_scope("jpeggpu.dc"):
+            coeffs = undelta_dc(cfg, comp_slots, coeffs)
         t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
         with jax.named_scope("jpeggpu.deinterleave"):
             scan_planes = deinterleave(cfg, coeffs, sp.num_mcus_x,

@@ -153,6 +153,34 @@ def test_sync_states_head_width(test_image):
     assert np.array_equal(got, expect)
 
 
+def test_sync_states_full_jacobi(test_image):
+    """frontier_width=0 passed explicitly (the TPU auto mode): full-width
+    masked Jacobi rounds to convergence, no compacted tiers — must equal
+    the sequential boundary states exactly."""
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=5, quality=95))
+    plan, inputs = _setup(data)
+    cfg = plan.signature.scans[0].cfg
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        arrs = H.ScanArrays(
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx, frontier_width=0)
+
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    expect = golden.sequential_boundary_states(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
 def test_sync_states_chain_follow(test_image):
     """Chain-follow rounds (Gauss-Seidel within mis-synced chains,
     Tuning.chain_follow > 1) converge to exactly the sequential boundary
@@ -586,9 +614,12 @@ def test_idct_stream_to_plane_matches_split_tail(test_image, spec):
         seg_num_subseq=jnp.asarray(i["seg_num_subseq"]),
         maxcode=jnp.asarray(i["maxcode"]), vsm=jnp.asarray(i["vsm"]),
         huffval=jnp.asarray(i["huffval"]))
-    coeffs = H.decode_scan(cfg, arrs)
-    coeffs = undelta_dc(cfg, tuple((c[1], c[2] * c[3]) for c in sp.comps),
-                        coeffs)
+    coeffs_raw = H.decode_scan(cfg, arrs)
+    comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+    coeffs = undelta_dc(cfg, comp_slots, coeffs_raw)
+    from jpeggpu_tpu.ops.dc import undelta_dc_values
+
+    dcv = undelta_dc_values(cfg, comp_slots, coeffs_raw)
     t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
     planes = deinterleave(cfg, coeffs, sp.num_mcus_x, sp.num_mcus_y, t_comps)
     qt = jnp.asarray(inputs["qtables"])
@@ -598,3 +629,9 @@ def test_idct_stream_to_plane_matches_split_tail(test_image, spec):
             coeffs, qt[c[6]], sp.num_mcus_x, sp.num_mcus_y,
             cfg.du_per_mcu, c[1], c[2], c[3]))
         assert np.array_equal(ref, fused)
+        # DC-override form (the production fused tail): raw-DC stream +
+        # side vector must produce the identical plane
+        fused2 = np.asarray(idct_stream_to_plane(
+            coeffs_raw, qt[c[6]], sp.num_mcus_x, sp.num_mcus_y,
+            cfg.du_per_mcu, c[1], c[2], c[3], dc_override=dcv))
+        assert np.array_equal(ref, fused2)
