@@ -104,13 +104,16 @@ def _stream_idct_kernel(gy_n, ssx, ssy, off, with_dc, *refs):
         for sy in range(ssy):
             lo = off + sy * ssx
             x = coeff_ref[gy, :, lo:lo + ssx, :]  # (mx, ssx, 64)
+            if dc_ref is not None:
+                # splice the un-deltaed DC into slot 0 BEFORE the (u, 64)
+                # merge: reshaping the (mx, ssx) DC slice to (u,) directly
+                # is a minor-dim interleave Mosaic cannot shape-cast
+                dcb = dc_ref[gy, :, lo:lo + ssx][..., None]  # (mx, ssx, 1)
+                x = jnp.concatenate([dcb, x[:, :, 1:]], axis=-1)
             # unit order (mcu, sx) == plane x order; zig-zag already undone
             xt = x.reshape(u, 64).astype(jnp.int32).T  # (64, u)
             dq = _wrap16(xt.reshape(8, 8, u) * q[:, :, None])
             cols = [[dq[i, j, :] for j in range(8)] for i in range(8)]
-            if dc_ref is not None:
-                dcb = dc_ref[gy, :, lo:lo + ssx].reshape(u).astype(jnp.int32)
-                cols[0][0] = _wrap16(dcb * q[0, 0])
             for j in range(8):
                 res = _vector8([cols[i][j] for i in range(8)])
                 for i in range(8):

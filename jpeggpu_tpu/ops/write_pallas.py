@@ -314,7 +314,7 @@ def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
     )(val_rows, pk_rows, mmax_st)
 
 
-def _expand_super_kernel(W, q_ref, *refs):
+def _expand_super_kernel(W, dot, q_ref, *refs):
     cand_refs = refs[:W]
     tile_refs = refs[W:2 * W]
     perm_ref = refs[2 * W]
@@ -322,6 +322,33 @@ def _expand_super_kernel(W, q_ref, *refs):
     g = pl.program_id(0)
     j = g * _GROUP_DU + jax.lax.broadcasted_iota(
         jnp.int32, (_GROUP_DU, 1), 0)
+    if dot == "bf16":
+        # byte-plane bf16 pairs: sel is one-hot (exact in bf16), tile
+        # splits into lo [0,255] / hi [-128,127] planes (8-bit, exact in
+        # bf16); every output cell receives at most one record, so the
+        # lo/hi reconstruction is exact, and each bf16 dot is one MXU
+        # pass where the f32 dot costs a multi-pass expansion. The zig-zag
+        # permutation applies to the planes separately (it is linear and
+        # plane values stay 8-bit).
+        acc_lo = jnp.zeros((_GROUP_DU, 64), jnp.float32)
+        acc_hi = jnp.zeros((_GROUP_DU, 64), jnp.float32)
+        for cand_ref, tile_ref in zip(cand_refs, tile_refs):
+            sel = jnp.where(cand_ref[:] == j, 1.0, 0.0).astype(jnp.bfloat16)
+            t = tile_ref[:].astype(jnp.int32)
+            tlo = (t & 255).astype(jnp.float32).astype(jnp.bfloat16)
+            thi = (t >> 8).astype(jnp.float32).astype(jnp.bfloat16)
+            acc_lo += jax.lax.dot(sel, tlo,
+                                  preferred_element_type=jnp.float32)
+            acc_hi += jax.lax.dot(sel, thi,
+                                  preferred_element_type=jnp.float32)
+        perm = perm_ref[:].astype(jnp.bfloat16)
+        out_lo = jax.lax.dot(acc_lo.astype(jnp.bfloat16), perm,
+                             preferred_element_type=jnp.float32)
+        out_hi = jax.lax.dot(acc_hi.astype(jnp.bfloat16), perm,
+                             preferred_element_type=jnp.float32)
+        out_ref[:] = (out_hi.astype(jnp.int32) * 256
+                      + out_lo.astype(jnp.int32)).astype(jnp.int16)
+        return
     acc = jnp.zeros((_GROUP_DU, 64), jnp.float32)
     for cand_ref, tile_ref in zip(cand_refs, tile_refs):
         sel = jnp.where(cand_ref[:] == j, 1.0, 0.0)  # (G_DU, _SUPER_D)
@@ -332,7 +359,8 @@ def _expand_super_kernel(W, q_ref, *refs):
         preferred_element_type=jnp.float32).astype(jnp.int16)
 
 
-def expand_supertiles(stiles, base, q, n_groups: int, W: int):
+def expand_supertiles(stiles, base, q, n_groups: int, W: int,
+                      dot: str = "f32"):
     """Supertiles -> dense (n_groups * _GROUP_DU, 64) natural-order rows.
 
     Output group ``g`` (128 data units) gathers the rows of supertiles
@@ -367,7 +395,7 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_expand_super_kernel, W),
+        functools.partial(_expand_super_kernel, W, dot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
                                        jnp.int16),
@@ -464,7 +492,11 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
                                      rows(pk), mmax_st, G, dot=dot)
-    out2d = expand_supertiles(stiles, base, q, n_groups, W)
+    # the expand reuses the stage-1 dtype choice: byte-plane pairs beat
+    # multi-pass f32 whenever the narrow stage-1 path is selected
+    out2d = expand_supertiles(stiles, base, q, n_groups, W,
+                              dot="bf16" if dot in ("bf16", "int8")
+                              else "f32")
 
     out_flat = out2d.reshape(-1)
     out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,

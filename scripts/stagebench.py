@@ -330,19 +330,31 @@ def main() -> int:
         def pre_scan(i):
             return H.decode_scan(cfg, mk_arrs(i))
 
+        comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
+
         def st_dc(coeffs, bump):
-            comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
             return undelta_dc(cfg, comp_slots,
                               coeffs + bump.astype(coeffs.dtype))
 
         def pre_dc(i):
             return st_dc(pre_scan(i), jnp.int32(0))
 
-        def st_idct_all(coeffs, bump):
+        def st_dcv(coeffs, bump):
+            from jpeggpu_tpu.ops.dc import undelta_dc_values
+
+            return undelta_dc_values(cfg, comp_slots,
+                                     coeffs + bump.astype(coeffs.dtype))
+
+        def pre_dcv(i):
+            coeffs = pre_scan(i)
+            return coeffs, st_dcv(coeffs, jnp.int32(0))
+
+        def st_idct_all(st, bump):
+            coeffs, dcv = st
             outs = [idct_stream_to_plane(
                 coeffs + bump.astype(coeffs.dtype), inp["qtables"][c[6]],
                 sp.num_mcus_x, sp.num_mcus_y, cfg.du_per_mcu,
-                c[1], c[2], c[3]) for c in sp.comps]
+                c[1], c[2], c[3], dc_override=dcv) for c in sp.comps]
             return sum(o[0, 0].astype(jnp.int32) for o in outs).reshape(1)
 
         def st_noff(st, bump):
@@ -379,7 +391,8 @@ def main() -> int:
             ("emit_ms", pre_sync, st_emit),
             ("asm_ms", pre_emit, st_asm),
             ("dc_ms", pre_scan, st_dc),
-            ("idct_ms", pre_dc, st_idct_all),
+            ("dcv_ms", pre_scan, st_dcv),
+            ("idct_ms", pre_dcv, st_idct_all),
             ("noff_ms", pre_sync, st_noff),
         ]
         for name, pre, st in probes2:
@@ -411,13 +424,14 @@ def main() -> int:
         def s_tail(i, w):
             arrs = mk_arrs(i, w)
             coeffs = H.decode_scan(cfg, arrs)
-            from jpeggpu_tpu.ops.dc import undelta_dc
+            from jpeggpu_tpu.ops.dc import undelta_dc_values
             from jpeggpu_tpu.ops.idct_pallas import idct_stream_to_plane
-            coeffs = undelta_dc(
+            dcv = undelta_dc_values(
                 cfg, tuple((c[1], c[2] * c[3]) for c in sp.comps), coeffs)
             outs = [idct_stream_to_plane(
                 coeffs, i["qtables"][c[6]], sp.num_mcus_x, sp.num_mcus_y,
-                cfg.du_per_mcu, c[1], c[2], c[3]) for c in sp.comps]
+                cfg.du_per_mcu, c[1], c[2], c[3], dc_override=dcv)
+                for c in sp.comps]
             return sum(o[0, 0].astype(jnp.int32) for o in outs)
 
         slope("sync_slope_ms", s_sync)
