@@ -121,7 +121,10 @@ class Tuning:
     # ~250, so the interleave/prep would move 2.5-5x dead slots; lanes
     # whose count exceeds the trim drain through the leftover scatter, so
     # exactness never depends on it. Multiple of 128 (whole MXU rounds).
-    s_trim: int = 512
+    # 256 covers the bench image's max (246) and measured fastest on v5e
+    # (2026-08-20: 5.89 ms vs 6.93 at 512 with int8 dots); content with
+    # more records per subsequence falls back to the leftover path.
+    s_trim: int = 256
     straggler_width: int = 4096
     unroll: int = 0
     chain_follow: int = 0

@@ -418,12 +418,14 @@ def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
 
 
 def resolve_super_dot(mode: str) -> str:
-    """Tuning.tile_dot -> supertile stage-1 dot dtype. "auto"/"f32" select
-    the byte-plane bf16 pair (f32 in this 2D form runs at DEFAULT bf16
-    precision on v5e and rounds 16-bit coefficients — BENCH.md §6 — so the
-    byte planes are load-bearing); "int8" selects the int8 pair (same
-    exactness argument, 2x MXU rate on v5e)."""
-    return "int8" if mode == "int8" else "bf16"
+    """Tuning.tile_dot -> supertile stage-1 dot dtype. "auto" selects the
+    int8 byte-plane pair: exact (one record per cell; lo unwrapped after
+    the dot) and measured fastest on v5e (2026-08-20 sweep: 5.89 ms vs
+    6.93 bf16 at s_trim=256 on the 12 MP assembly). "f32" maps to bf16
+    byte planes — a plain f32 dot in this 2D form runs at DEFAULT bf16
+    precision on v5e and rounds 16-bit coefficients (BENCH.md §6), so the
+    byte-plane split is load-bearing, not a dtype choice."""
+    return "bf16" if mode in ("bf16", "f32") else "int8"
 
 
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,

@@ -120,7 +120,11 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         # leftover scatter). Expand cost is ~0.1 ms per W step — cheap
         # relative to leftover rounds.
         avg_extent = -(-128 // max(int(super_g * avg_du), 1))
-        super_w = min(max(2 * avg_extent + 2, 4), 12)
+        # 2x the average extent, no extra slack: measured on v5e 2026-08-20
+        # (12 MP, avg_extent 3): W=6 assembles in 5.02 ms vs 5.89 at W=8,
+        # while W=4 (under 2x) floods the leftover scatter (15.7 ms) —
+        # the 2x factor is the cliff margin, the +2 was pure cost
+        super_w = min(max(2 * avg_extent, 4), 12)
         # sparse scans (mid-quality large images, avg_du >~ 55): even the
         # minimum 2-lane supertile group typically spans >= the 128-row
         # window, sending ~every second lane through the serial leftover
