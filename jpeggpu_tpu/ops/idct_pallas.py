@@ -107,8 +107,10 @@ def _stream_idct_kernel(gy_n, ssx, ssy, off, with_dc, *refs):
             if dc_ref is not None:
                 # splice the un-deltaed DC into slot 0 BEFORE the (u, 64)
                 # merge: reshaping the (mx, ssx) DC slice to (u,) directly
-                # is a minor-dim interleave Mosaic cannot shape-cast
-                dcb = dc_ref[gy, :, lo:lo + ssx][..., None]  # (mx, ssx, 1)
+                # is a minor-dim interleave Mosaic cannot shape-cast; the
+                # trailing singleton comes in from XLA (in-kernel minor-dim
+                # insertion is 32-bit-only in Mosaic)
+                dcb = dc_ref[gy, :, lo:lo + ssx, :]  # (mx, ssx, 1)
                 x = jnp.concatenate([dcb, x[:, :, 1:]], axis=-1)
             # unit order (mcu, sx) == plane x order; zig-zag already undone
             xt = x.reshape(u, 64).astype(jnp.int32).T  # (64, u)
@@ -172,9 +174,10 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
                              lambda g: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     if with_dc:
-        ins.append(dc_override.reshape(num_mcus_y, num_mcus_x, du_per_mcu))
-        in_specs.append(pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu),
-                                     lambda g: (g, 0, 0),
+        ins.append(dc_override.reshape(num_mcus_y, num_mcus_x, du_per_mcu,
+                                       1))
+        in_specs.append(pl.BlockSpec((gy_n, num_mcus_x, du_per_mcu, 1),
+                                     lambda g: (g, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
     ins.append(q)
     in_specs.append(pl.BlockSpec((8, 8), lambda g: (0, 0),

@@ -325,7 +325,9 @@ def main() -> int:
             val, wpos, m, du0 = st
             return WP.assemble_supertiles(
                 val + bump.astype(val.dtype), wpos, m, du0,
-                cfg.total_positions, cfg.super_g, cfg.super_w)
+                cfg.total_positions, cfg.super_g, cfg.super_w,
+                s_trim=cfg.tuning.s_trim,
+                dot=WP.resolve_super_dot(cfg.tuning.tile_dot))
 
         def pre_scan(i):
             return H.decode_scan(cfg, mk_arrs(i))
@@ -382,11 +384,28 @@ def main() -> int:
             p, c, z, n = H.sync_states(cfg, arrs, ctx2)
             return p + n
 
+        def st_2round(st, bump):
+            # blind + one full shifted round: isolates the per-round cost
+            # of the full-width Jacobi structure (pass + roll/freeze glue)
+            arrs, ctx = st
+            blind_p = ctx.rel * 1024 + bump * 0
+            zeros = jnp.zeros(cfg.lanes, jnp.int32)
+            p, c, z, n = H._decode_subseq_pass(
+                cfg, arrs, ctx, blind_p + bump, zeros, zeros,
+                ctx.lane_valid)
+            sp = jnp.where(ctx.first_of_seg, blind_p, jnp.roll(p, 1))
+            sc = jnp.where(ctx.first_of_seg, 0, jnp.roll(c, 1))
+            sz = jnp.where(ctx.first_of_seg, 0, jnp.roll(z, 1))
+            p2, c2, z2, n2 = H._decode_subseq_pass(cfg, arrs, ctx, sp, sc,
+                                                   sz, ctx.lane_valid)
+            return p2 + n2
+
         only = None
         if "--only" in sys.argv:
             only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         probes2 = [
             ("pass_ms", pre_ctx, st_pass),
+            ("round2_ms", pre_ctx, st_2round),
             ("syncst_ms", pre_ctx, st_sync),
             ("emit_ms", pre_sync, st_emit),
             ("asm_ms", pre_emit, st_asm),
