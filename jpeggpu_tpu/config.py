@@ -108,11 +108,11 @@ class Tuning:
         14.96 base) and onehot on CPU.
     """
 
-    # 0 = auto: full-width masked Jacobi rounds to convergence (no
-    # compaction) where the lane2d fold makes a masked pass cheaper than
-    # one compacted round's XLA gathers (TPU, measured v5e 2026-08-20);
-    # 2048-lane compacted tiers elsewhere (ops/huffman.py
-    # _resolve_frontier_width)
+    # 0 = auto: the 2048-lane compacted tiers. (A no-compaction full-width
+    # Jacobi mode exists — sync_states(frontier_width=0) — and was
+    # measured SLOWER on v5e 2026-08-20: a full masked round costs
+    # ~0.65 ms regardless of frontier size, so 15 Jacobi rounds lose to
+    # the tiers' 6.6 ms; see ops/huffman.py _resolve_frontier_width.)
     frontier_width: int = 0
     write_chunk: int = 256
     # static record-slot trim of the supertile assembly prep

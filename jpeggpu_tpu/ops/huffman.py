@@ -743,24 +743,16 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
 
 def _resolve_frontier_width(cfg: ScanConfig) -> int:
-    """Tuning.frontier_width; 0 = auto.
+    """Tuning.frontier_width; 0 = auto (the 2048-lane compacted tiers).
 
-    Auto selects NO compaction (full-width masked Jacobi rounds to
-    convergence) when the lane2d fold is active: a masked full pass costs
-    ~0.14 ms on v5e (2026-08-20) while ONE compacted chain-follow round
-    pays ~0.7 ms of XLA column gathers — on real content (frontier halves
-    per round, max chain depth ~15, BENCH.md) ~15 full rounds beat ~9
-    gather rounds by ~3x. On CPU/1D backends a pass is the expensive part
-    and compaction wins; auto keeps the 2048-lane tiers there."""
+    A full-width-Jacobi-only mode (no compaction; pass frontier_width=0
+    to sync_states directly) was measured on v5e 2026-08-20 and LOST:
+    one full masked round costs ~0.65 ms (round2 slope probe; a pass is
+    bound by per-symbol fixed costs, not width) so the image's 15
+    Jacobi rounds run 13.1 ms where the tiers' compacted rounds finish
+    in 6.6 ms. Keep the tiers."""
     fw = cfg.tuning.frontier_width
-    if fw != 0:
-        return fw
-    from . import huffman_pallas
-
-    use2d = (_resolve_entropy_backend(cfg) == "pallas"
-             and huffman_pallas._use_2d(cfg)
-             and jax.default_backend() != "cpu")
-    return 0 if use2d else 2048
+    return 2048 if fw == 0 else fw
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,

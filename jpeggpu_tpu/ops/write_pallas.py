@@ -494,11 +494,14 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
                                      rows(pk), mmax_st, G, dot=dot)
-    # the expand reuses the stage-1 dtype choice: byte-plane pairs beat
-    # multi-pass f32 whenever the narrow stage-1 path is selected
-    out2d = expand_supertiles(stiles, base, q, n_groups, W,
-                              dot="bf16" if dot in ("bf16", "int8")
-                              else "f32")
+    # expand stays f32: the byte-plane bf16 pair was measured SLOWER on
+    # v5e 2026-08-20 (asm 7.07 ms vs 5.02 with f32 expand at the same
+    # stage-1 config) — the in-kernel byte splits of the int16 tiles cost
+    # more VPU than the multi-pass f32 dot costs MXU. (The f32 form is
+    # exact here: standard-form 2D dots lower to the multi-pass f32 MXU
+    # path, unlike stage-1's minor-axis contraction; verified by the
+    # on-hardware bit-exact matrix.)
+    out2d = expand_supertiles(stiles, base, q, n_groups, W, dot="f32")
 
     out_flat = out2d.reshape(-1)
     out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,
