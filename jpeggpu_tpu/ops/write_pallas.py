@@ -429,7 +429,8 @@ def resolve_super_dot(mode: str) -> str:
 
 
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
-                        s_trim: int = 512, dot: str = "bf16"):
+                        s_trim: int = 512, dot: str = "bf16",
+                        expand_dot: str = "f32"):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
@@ -494,14 +495,13 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
                                      rows(pk), mmax_st, G, dot=dot)
-    # expand stays f32: the byte-plane bf16 pair was measured SLOWER on
-    # v5e 2026-08-20 (asm 7.07 ms vs 5.02 with f32 expand at the same
-    # stage-1 config) — the in-kernel byte splits of the int16 tiles cost
-    # more VPU than the multi-pass f32 dot costs MXU. (The f32 form is
-    # exact here: standard-form 2D dots lower to the multi-pass f32 MXU
-    # path, unlike stage-1's minor-axis contraction; verified by the
-    # on-hardware bit-exact matrix.)
-    out2d = expand_supertiles(stiles, base, q, n_groups, W, dot="f32")
+    # expand_dot: f32 is exact here (standard-form 2D dots lower to the
+    # multi-pass f32 MXU path, unlike stage-1's minor-axis contraction);
+    # the byte-plane bf16 pair is exact by the one-record-per-cell
+    # argument. Cross-session readings conflicted (7.07 bf16 vs 7.85 f32
+    # in ADJACENT sessions, both above the 5.0-5.9 sweep-session numbers);
+    # the default follows the single-session A/B in sweeps/.
+    out2d = expand_supertiles(stiles, base, q, n_groups, W, dot=expand_dot)
 
     out_flat = out2d.reshape(-1)
     out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,

@@ -210,7 +210,7 @@ def main() -> int:
     elif what == "super":
         from jpeggpu_tpu.ops import write_pallas as WP
 
-        def super_rep(s_trim, dot, KK, W=None):
+        def super_rep(s_trim, dot, KK, W=None, expand_dot="f32"):
             def f(i):
                 arrs = mk_arrs(i)
                 ctx = H.make_ctx(cfg0, arrs)
@@ -228,7 +228,7 @@ def main() -> int:
                     out2 = WP.assemble_supertiles(
                         v2, wpos, m, du0, cfg0.total_positions,
                         cfg0.super_g, cfg0.super_w if W is None else W,
-                        s_trim=s_trim, dot=dot)
+                        s_trim=s_trim, dot=dot, expand_dot=expand_dot)
                     s = out2[0].astype(jnp.int32) + out2[-1].astype(jnp.int32)
                     acc = s.astype(jnp.int16)
                     tot = tot + s
@@ -315,7 +315,9 @@ def main() -> int:
                       ("384_int8", 384, "int8"),
                       ("256_int8_w6", 256, "int8", 6),
                       ("256_int8_w4", 256, "int8", 4),
-                      ("384_int8_w6", 384, "int8", 6)]
+                      ("384_int8_w6", 384, "int8", 6),
+                      ("256_int8_w6_expf32", 256, "int8", 6, "f32"),
+                      ("256_int8_w6_expbf16", 256, "int8", 6, "bf16")]
         part_cfgs = [("parts_prep256", 256, "int8", "prep"),
                      ("parts_st1_256i8", 256, "int8", "stage1"),
                      ("parts_exp_256i8", 256, "int8", "expand")]
@@ -344,12 +346,14 @@ def main() -> int:
             if only is not None and name not in only:
                 continue
             W = wext[0] if wext else None
+            exp = wext[1] if len(wext) > 1 else "f32"
             t0 = time.time()
             ts = {}
             key = f"super_{name}_ms"
             try:
                 for KK in (1, kreps):
-                    exe = jax.jit(super_rep(s_trim, dot, KK, W=W)).lower(
+                    exe = jax.jit(super_rep(s_trim, dot, KK, W=W,
+                                            expand_dot=exp)).lower(
                         inp).compile()
                     ts[KK] = timeit(
                         lambda: np.asarray(exe(inp))[:1], iters) * 1e3
