@@ -326,6 +326,7 @@ def main():
         if "--batch-size" in sys.argv:
             b = int(sys.argv[sys.argv.index("--batch-size") + 1])
         bench_batch(iters, batch=b)
+        return 0
 
     data = open(IMAGE, "rb").read()
     if "--e2e" in sys.argv:

@@ -750,9 +750,14 @@ def _resolve_frontier_width(cfg: ScanConfig) -> int:
     one full masked round costs ~0.65 ms (round2 slope probe; a pass is
     bound by per-symbol fixed costs, not width) so the image's 15
     Jacobi rounds run 13.1 ms where the tiers' compacted rounds finish
-    in 6.6 ms. Keep the tiers."""
+    in 6.6 ms. Keep the tiers.
+
+    Auto scales with the lane count (lanes/12 = the tuned 2048 at the 12 MP
+    single-image width): merged-lane BATCHES multiply lanes by B, and a
+    fixed width would force ~log2(B) extra FULL-width rounds — each B
+    times a single image's pass — before the frontier fits the tier."""
     fw = cfg.tuning.frontier_width
-    return 2048 if fw == 0 else fw
+    return max(2048, cfg.lanes // 12) if fw == 0 else fw
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
