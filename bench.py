@@ -49,8 +49,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 ITERS = 20
 # merged-lane batch size for the default headline's batch_mps field (tuned
-# on v5e; see BENCH.md batch table)
-DEFAULT_BATCH = 16
+# on v5e 2026-08-20: B=8 414 MP/s, B=16 387, B=32 below that — the RTT is
+# already amortized at 8 and bigger merges lose; see BENCH.md batch table)
+DEFAULT_BATCH = 8
 
 
 def _stats(times):
