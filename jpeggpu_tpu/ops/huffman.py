@@ -837,7 +837,10 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     # by the next chain's head, so updated columns stay disjoint.
     F = cfg.tuning.chain_follow
     if F == 0:  # auto: the F-phase round body is pure compile cost on CPU
-        F = 1 if jax.default_backend() == "cpu" else 4
+        # TPU: 2 (one-session A/B, v5e 2026-08-20 sweep: chain_follow=2 +
+        # head_width 1024 sync 7.31 ms vs 8.0 at F=4 — shallower follow
+        # halves the per-round gather width and the real chains are short)
+        F = 1 if jax.default_backend() == "cpu" else 2
     F = min(F, max(K, 1))
     Fw = min(cfg.tuning.wide_follow or 1, max(K, 1))
     Kc = cfg.tuning.head_width or max(1, K // max(F, 1))

@@ -339,8 +339,8 @@ def test_write_tiles_slot_trim_fallback(test_image, monkeypatch):
 
     orig = WP.assemble_supertiles
 
-    def tiny_trim(val, wpos, m, du0_raw, total, G, W, s_trim=512):
-        return orig(val, wpos, m, du0_raw, total, G, W, s_trim=128)
+    def tiny_trim(val, wpos, m, du0_raw, total, G, W, s_trim=512, **kw):
+        return orig(val, wpos, m, du0_raw, total, G, W, s_trim=128, **kw)
 
     monkeypatch.setattr(WP, "assemble_supertiles", tiny_trim)
     # the AOT executable cache keys on the plan signature, which cannot see
