@@ -142,6 +142,19 @@ class Tuning:
     # shape-generic formulations are active (1D vectors lower to (1, lanes)
     # vregs — one of 8 sublanes useful); "off" keeps the 1D layout
     lane2d: str = "auto"
+    # context compaction of the frontier sync rounds (ops/huffman.py
+    # make_ctx_gatherer): "take" is the plain XLA column gather of the
+    # (34, lanes) window (+6 scalar rows) — ~8 ns per element on XLA:TPU,
+    # the dominant cost of a compacted round; "dot" gathers all 40 rows
+    # with one int8 byte-plane one-hot matmul on the MXU (exact: one-hot
+    # columns select exactly one lane; int32 recombines from the four
+    # signed byte planes). "auto" selects dot on non-CPU backends.
+    ctx_gather: str = "auto"
+    # expand-kernel dot dtype of the supertile assembly
+    # (ops/write_pallas.py resolve_expand_dot): "auto" -> the 2-plane
+    # signed-int8 split (single-pass MXU, exact for any per-cell record
+    # count); "f32" -> plain f32 dot (exact, multi-pass)
+    expand_dot: str = "auto"
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -171,6 +184,12 @@ class Tuning:
         if self.lane2d not in ("auto", "off"):
             raise ValueError(
                 f"lane2d must be auto|off, got {self.lane2d!r}")
+        if self.ctx_gather not in ("auto", "take", "dot"):
+            raise ValueError(
+                f"ctx_gather must be auto|take|dot, got {self.ctx_gather!r}")
+        if self.expand_dot not in ("auto", "f32", "int8"):
+            raise ValueError(
+                f"expand_dot must be auto|f32|int8, got {self.expand_dot!r}")
         for name in ("write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

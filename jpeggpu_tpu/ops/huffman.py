@@ -33,6 +33,7 @@ Decode-state semantics match decode_huffman.cu exactly:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -214,6 +215,74 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
         dvsm=ctx.dvsm,
         vsm0=ctx.vsm0,
     )
+
+
+def _resolve_ctx_gather(cfg: ScanConfig) -> str:
+    """Tuning.ctx_gather; "auto" selects the one-hot MXU dot gather on
+    non-CPU backends (XLA:TPU column gathers cost ~8 ns per element, so
+    compacting a 4096-column frontier round's 40-row context was the
+    dominant cost of the round) and the plain take on CPU."""
+    mode = cfg.tuning.ctx_gather
+    if mode != "auto":
+        return mode
+    return "take" if jax.default_backend() == "cpu" else "dot"
+
+
+def make_ctx_gatherer(cfg: ScanConfig, ctx: _Ctx):
+    """Returns ``gather(idx, valid) -> _Ctx`` compacting the per-lane
+    context to the given lane subset.
+
+    The "dot" mode stacks the 34-word window and the six per-lane scalar
+    rows into one (40, lanes) int32 matrix, splits it into four signed
+    byte planes, and gathers columns as ``planes @ onehot`` — one int8
+    MXU contraction instead of ~40 XLA gather rows. Exact: each one-hot
+    column selects exactly one lane, so every output element is a single
+    plane value; the int32 recombination ``sum_s(d_s << 8s) + 0x80808080``
+    inverts the per-plane ``-128`` bias (two's-complement wraparound is
+    part of the identity).
+    """
+    if _resolve_ctx_gather(cfg) != "dot":
+        return functools.partial(gather_ctx, ctx)
+    lanes = cfg.lanes
+    win32 = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
+    rows = jnp.concatenate([
+        win32,                                   # rows 0..33
+        ctx.word_end[None, :],                   # 34
+        ctx.seg_base_bits[None, :],              # 35
+        ctx.end_subseq[None, :],                 # 36
+        ctx.rel[None, :],                        # 37
+        ctx.lane_word0[None, :],                 # 38
+        ctx.first_of_seg.astype(jnp.int32)[None, :],  # 39
+    ], axis=0)
+    R = rows.shape[0]
+    planes = jnp.concatenate(
+        [(((rows >> (8 * s)) & 255) - 128).astype(jnp.int8)
+         for s in range(4)], axis=0)  # (4R, lanes)
+    iota = jnp.arange(lanes, dtype=jnp.int32)
+    bias = jnp.int32(-2139062144)  # 0x80808080 as int32
+
+    def gather(idx, valid):
+        oh = (iota[:, None] == idx[None, :]).astype(jnp.int8)
+        d = jax.lax.dot_general(planes, oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        g = (d[:R] + (d[R:2 * R] << 8) + (d[2 * R:3 * R] << 16)
+             + (d[3 * R:] << 24) + bias)
+        return _Ctx(
+            window=jax.lax.bitcast_convert_type(g[:34], ctx.window.dtype),
+            hv_packed=ctx.hv_packed,
+            word_end=g[34],
+            seg_base_bits=g[35],
+            end_subseq=g[36],
+            rel=g[37],
+            lane_valid=valid,
+            first_of_seg=g[39] != 0,
+            lane_word0=g[38],
+            limits=ctx.limits,
+            dvsm=ctx.dvsm,
+            vsm0=ctx.vsm0,
+        )
+
+    return gather
 
 
 def _slice_ctx(gctx: _Ctx, lo: int, hi: int, valid: jax.Array) -> _Ctx:
@@ -877,6 +946,8 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             return p, c, z, n, it0, it0
         return p, c, z, n
 
+    gather_fn = make_ctx_gatherer(cfg, ctx)
+
     def compact_round(p, c, z, n, head, width, follow):
         """One chain-follow round over up to `width` local chain heads,
         each advanced up to `follow` columns (Gauss-Seidel within the
@@ -901,7 +972,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         ok = jnp.cumprod(okcol.astype(jnp.int32), axis=1).astype(bool)
 
         # one fused context gather for all phases (phase-major layout)
-        gctx = gather_ctx(ctx, idx2c.T.reshape(-1), ok.T.reshape(-1))
+        gctx = gather_fn(idx2c.T.reshape(-1), ok.T.reshape(-1))
         prevh = jnp.clip(headc - 1, 0, lanes - 1)
         sp, sc, sz = p[prevh], c[prevh], z[prevh]
         if entry is not None:

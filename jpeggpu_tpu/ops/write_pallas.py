@@ -27,8 +27,10 @@ coefficient materialization so the hot path never scatters:
    element scatter loop (:func:`scatter_leftover`) — correct for any
    input, never taken on typical photographic content.
 
-Zig-zag -> natural coefficient order is deferred to a single static column
-permutation at the end (cheaper than a per-symbol one-hot in the kernels).
+Zig-zag -> natural coefficient order is folded into the stage-1 one-hot
+compare (the 64-column one-hot tests against a permuted constant instead of
+an iota), so tiles and supertiles are natural-order from birth and the
+expand kernels are pure gather-sums.
 """
 
 from __future__ import annotations
@@ -186,7 +188,12 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
                "int8": jnp.int8}[dot_dtype]
     iota_d_in = jnp.arange(tile_d, dtype=jnp.int32).astype(
         iota_dt).reshape(1, tile_d)
-    iota_z_in = jnp.arange(64, dtype=jnp.int32).astype(
+    # natural-order fold: column j holds the coefficient whose zig-zag
+    # index is invz[j], so tiles come out natural-order and the expand
+    # kernel needs no 64x64 permutation matmul (values 0..63 are exact in
+    # every dot dtype; -1-masked rows never match)
+    iota_z_in = jnp.asarray(
+        np.argsort(np.asarray(C.ORDER_NATURAL)).astype(np.int32)).astype(
         iota_dt).reshape(1, 64)
     acc_dt = jnp.float32 if dot_dtype == "f32" else jnp.int16
 
@@ -239,11 +246,17 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
 # for the per-lane path; f32 Precision.HIGHEST is exact too but 7.47 ms.
 
 
-def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, out_ref,
-                       acc_ref):
+def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, invz_ref,
+                       out_ref, acc_ref):
     K = G * _ROUND_R
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (_SUPER_D, 1), 0)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+    # natural-order fold: row j of the tile holds the coefficient whose
+    # zig-zag index is invz[j] (= the zig-zag index stored at natural
+    # position j), so the zig-zag -> natural reorder that used to be a
+    # 64x64 permutation matmul in the expand kernel costs nothing here —
+    # the one-hot compare runs against a permuted constant instead of an
+    # iota. Leftover lanes already scatter natural-order positions.
+    iota_z = invz_ref[:]  # (64, 1) int32
     for st in range(_SUPER_SB):
         mmax = jnp.max(m_ref[st])
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -286,7 +299,7 @@ def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, out_ref,
 
 def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
                             dot: str = "bf16"):
-    """Interleaved records -> (n_st, _SUPER_D, 64) zig-zag supertiles.
+    """Interleaved records -> (n_st, _SUPER_D, 64) *natural-order* supertiles.
 
     ``val_rows``/``pk_rows`` are int16[n_st, s_cap*G] with column s*G + g;
     ``pk`` packs (d_rel << 6) | iz, -1 on inert slots. ``mmax_st`` is
@@ -295,6 +308,9 @@ def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
     n_st, sg = val_rows.shape
     s_cap = sg // G
     assert n_st % _SUPER_SB == 0
+    invz = jnp.asarray(
+        np.argsort(np.asarray(C.ORDER_NATURAL)).astype(np.int32).reshape(
+            64, 1))
     rec_spec = pl.BlockSpec((_SUPER_SB, sg), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -302,6 +318,8 @@ def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
         grid=(n_st // _SUPER_SB,),
         in_specs=[rec_spec, rec_spec,
                   pl.BlockSpec((_SUPER_SB, 1), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((64, 1), lambda b: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((_SUPER_SB, _SUPER_D, 64),
                                lambda b: (b, 0, 0),
@@ -311,52 +329,45 @@ def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(val_rows, pk_rows, mmax_st)
+    )(val_rows, pk_rows, mmax_st, invz)
 
 
 def _expand_super_kernel(W, dot, q_ref, *refs):
     cand_refs = refs[:W]
     tile_refs = refs[W:2 * W]
-    perm_ref = refs[2 * W]
-    out_ref = refs[2 * W + 1]
+    out_ref = refs[2 * W]
     g = pl.program_id(0)
     j = g * _GROUP_DU + jax.lax.broadcasted_iota(
         jnp.int32, (_GROUP_DU, 1), 0)
-    if dot == "bf16":
-        # byte-plane bf16 pairs: sel is one-hot (exact in bf16), tile
-        # splits into lo [0,255] / hi [-128,127] planes (8-bit, exact in
-        # bf16); every output cell receives at most one record, so the
-        # lo/hi reconstruction is exact, and each bf16 dot is one MXU
-        # pass where the f32 dot costs a multi-pass expansion. The zig-zag
-        # permutation applies to the planes separately (it is linear and
-        # plane values stay 8-bit).
-        acc_lo = jnp.zeros((_GROUP_DU, 64), jnp.float32)
-        acc_hi = jnp.zeros((_GROUP_DU, 64), jnp.float32)
-        for cand_ref, tile_ref in zip(cand_refs, tile_refs):
-            sel = jnp.where(cand_ref[:] == j, 1.0, 0.0).astype(jnp.bfloat16)
-            t = tile_ref[:].astype(jnp.int32)
-            tlo = (t & 255).astype(jnp.float32).astype(jnp.bfloat16)
-            thi = (t >> 8).astype(jnp.float32).astype(jnp.bfloat16)
-            acc_lo += jax.lax.dot(sel, tlo,
-                                  preferred_element_type=jnp.float32)
-            acc_hi += jax.lax.dot(sel, thi,
-                                  preferred_element_type=jnp.float32)
-        perm = perm_ref[:].astype(jnp.bfloat16)
-        out_lo = jax.lax.dot(acc_lo.astype(jnp.bfloat16), perm,
-                             preferred_element_type=jnp.float32)
-        out_hi = jax.lax.dot(acc_hi.astype(jnp.bfloat16), perm,
-                             preferred_element_type=jnp.float32)
-        out_ref[:] = (out_hi.astype(jnp.int32) * 256
-                      + out_lo.astype(jnp.int32)).astype(jnp.int16)
+    # ONE concatenated dot per plane instead of W small dots: Mosaic issues
+    # each dot as its own MXU op sequence, so W separate (128, 128) x
+    # (128, 64) dots pay W pipeline fills per grid step where the fused
+    # (128, W*128) x (W*128, 64) contraction pays one (same flops).
+    cand = jnp.concatenate([r[:] for r in cand_refs], axis=1)
+    hit = cand == j  # (_GROUP_DU, W*_SUPER_D)
+    tiles = jnp.concatenate([r[:] for r in tile_refs], axis=0)
+    if dot == "int8":
+        # 2-plane signed-int8 split, exact under MULTI-record sums (unlike
+        # the lo/hi byte planes of stage 1, which rely on one record per
+        # cell): t = 256*hi + (b0 + 128) with hi = t >> 8 (arithmetic) and
+        # b0 = (t & 255) - 128, both in [-128, 127]. Summing k records
+        # gives sum(t) = 256*dot_hi + dot_b0 + 128*k, and k per output ROW
+        # is the row-sum of the one-hot (every selected tile row feeds all
+        # 64 columns), a cheap VPU reduce. int8 x int8 -> int32 dots are
+        # single-pass MXU ops; f32 dots in this shape run multi-pass.
+        sel = hit.astype(jnp.int8)
+        t32 = tiles.astype(jnp.int32)
+        hi = (t32 >> 8).astype(jnp.int8)
+        b0 = ((t32 & 255) - 128).astype(jnp.int8)
+        dhi = jax.lax.dot(sel, hi, preferred_element_type=jnp.int32)
+        db0 = jax.lax.dot(sel, b0, preferred_element_type=jnp.int32)
+        cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+        out_ref[:] = ((dhi << 8) + db0 + (cnt << 7)).astype(jnp.int16)
         return
-    acc = jnp.zeros((_GROUP_DU, 64), jnp.float32)
-    for cand_ref, tile_ref in zip(cand_refs, tile_refs):
-        sel = jnp.where(cand_ref[:] == j, 1.0, 0.0)  # (G_DU, _SUPER_D)
-        acc += jax.lax.dot(sel, tile_ref[:].astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-    out_ref[:] = jax.lax.dot(
-        acc, perm_ref[:],
-        preferred_element_type=jnp.float32).astype(jnp.int16)
+    sel = jnp.where(hit, 1.0, 0.0)
+    acc = jax.lax.dot(sel, tiles.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(jnp.int16)
 
 
 def expand_supertiles(stiles, base, q, n_groups: int, W: int,
@@ -365,16 +376,14 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
 
     Output group ``g`` (128 data units) gathers the rows of supertiles
     ``q[g] .. q[g]+W-1`` whose data unit ``base[st] + d`` falls in the
-    group; rows shared by two lanes in different supertiles sum here. The
-    in-data-unit zig-zag -> natural reorder is the same 64x64 permutation
-    matmul as the per-lane expand."""
+    group; rows shared by two lanes in different supertiles sum here.
+    Supertiles arrive already natural-order within each data unit
+    (stage 1 folds the zig-zag permutation into its one-hot compare)."""
     n_st = stiles.shape[0]
     stiles2d = stiles.reshape(n_st * _SUPER_D, 64)
     cand2d = (base[:, None]
               + jnp.arange(_SUPER_D, dtype=jnp.int32)[None, :]).reshape(
                   1, n_st * _SUPER_D)
-    perm = np.zeros((64, 64), np.float32)
-    perm[np.arange(64), np.asarray(C.ORDER_NATURAL)] = 1.0
 
     def cand_spec(k):
         return pl.BlockSpec((1, _SUPER_D), lambda g, q, k=k: (0, q[g] + k),
@@ -388,9 +397,7 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
         num_scalar_prefetch=1,
         grid=(n_groups,),
         in_specs=[cand_spec(k) for k in range(W)]
-        + [tile_spec(k) for k in range(W)]
-        + [pl.BlockSpec((64, 64), lambda g, q: (0, 0),
-                        memory_space=pltpu.VMEM)],
+        + [tile_spec(k) for k in range(W)],
         out_specs=pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -402,7 +409,7 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(q, *([cand2d] * W), *([stiles2d] * W), jnp.asarray(perm))
+    )(q, *([cand2d] * W), *([stiles2d] * W))
 
 
 def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
@@ -415,6 +422,17 @@ def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
     thresholds = jnp.arange(n_groups, dtype=jnp.int32) * _GROUP_DU
     q = jnp.searchsorted(reach_st, thresholds, side="left").astype(jnp.int32)
     return jnp.clip(q, 0, max(n_st - W, 0))
+
+
+def resolve_expand_dot(mode: str) -> str:
+    """Tuning.expand_dot -> expand-kernel dot dtype. "auto" selects the
+    2-plane signed-int8 split (exact for any per-cell record count, see
+    _expand_super_kernel; single-pass MXU). "f32" keeps the plain f32
+    dot — exact too (standard-form 2D dots lower to the multi-pass
+    HIGHEST-precision path) but ~4x the MXU passes. "bf16" (the retired
+    byte-plane pair, measured slower than f32 on v5e 2026-08-20) maps to
+    int8."""
+    return "f32" if mode == "f32" else "int8"
 
 
 def resolve_super_dot(mode: str) -> str:
@@ -430,7 +448,7 @@ def resolve_super_dot(mode: str) -> str:
 
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                         s_trim: int = 512, dot: str = "bf16",
-                        expand_dot: str = "f32"):
+                        expand_dot: str = "auto"):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
@@ -495,13 +513,8 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
                                      rows(pk), mmax_st, G, dot=dot)
-    # expand_dot: f32 is exact here (standard-form 2D dots lower to the
-    # multi-pass f32 MXU path, unlike stage-1's minor-axis contraction);
-    # the byte-plane bf16 pair is exact by the one-record-per-cell
-    # argument. Cross-session readings conflicted (7.07 bf16 vs 7.85 f32
-    # in ADJACENT sessions, both above the 5.0-5.9 sweep-session numbers);
-    # the default follows the single-session A/B in sweeps/.
-    out2d = expand_supertiles(stiles, base, q, n_groups, W, dot=expand_dot)
+    out2d = expand_supertiles(stiles, base, q, n_groups, W,
+                              dot=resolve_expand_dot(expand_dot))
 
     out_flat = out2d.reshape(-1)
     out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,
@@ -510,20 +523,17 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
 
 
 def _expand_kernel(q_ref, cand_a_ref, cand_b_ref, tile_a_ref, tile_b_ref,
-                   perm_ref, out_ref):
+                   out_ref):
     g = pl.program_id(0)
     j = g * _GROUP_DU + jax.lax.broadcasted_iota(jnp.int32,
                                                  (_GROUP_DU, 1), 0)
-    acc = jnp.zeros((_GROUP_DU, 64), jnp.float32)
-    for cand_ref, tile_ref in ((cand_a_ref, tile_a_ref),
-                               (cand_b_ref, tile_b_ref)):
-        sel = jnp.where(cand_ref[:] == j, 1.0, 0.0)  # (G, SLAB*D)
-        acc += jax.lax.dot(sel, tile_ref[:].astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-    # zig-zag -> natural as one 64x64 permutation matmul (a host-side
-    # column gather of the 19M-element stream costs ~100 ms on XLA:TPU)
+    # tiles are already natural-order within each data unit (stage 1
+    # folds the zig-zag permutation into its one-hot compare)
+    cand = jnp.concatenate([cand_a_ref[:], cand_b_ref[:]], axis=1)
+    tiles = jnp.concatenate([tile_a_ref[:], tile_b_ref[:]], axis=0)
+    sel = jnp.where(cand == j, 1.0, 0.0)  # (G, 2*SLAB*D)
     out_ref[:] = jax.lax.dot(
-        acc, perm_ref[:],
+        sel, tiles.astype(jnp.float32),
         preferred_element_type=jnp.float32).astype(jnp.int16)
 
 
@@ -532,8 +542,8 @@ def expand_tiles(tiles, du0, q, n_groups):
 
     ``q[g]`` is the aligned slab index: output group ``g`` gathers from
     candidate lanes ``[32*q[g], 32*q[g] + 64)``. Row ``j`` sums tile rows
-    with ``du0[lane] + d == j`` — shared boundary rows combine here. The
-    in-data-unit zig-zag -> natural reorder happens in-kernel.
+    with ``du0[lane] + d == j`` — shared boundary rows combine here.
+    Tiles arrive natural-order within each data unit.
     """
     lanes, tile_d = tiles.shape[0], tiles.shape[1]
     tiles2d = tiles.reshape(lanes, tile_d * 64).reshape(
@@ -542,9 +552,6 @@ def expand_tiles(tiles, du0, q, n_groups):
     # excluded (zero-tile) lanes match harmlessly
     cand = (du0[:, None] + jnp.arange(tile_d, dtype=jnp.int32)[None, :])
     cand2d = cand.reshape(1, lanes * tile_d)
-    # perm[z, j] = 1 iff natural position j holds zig-zag index z
-    perm = np.zeros((64, 64), np.float32)
-    perm[np.arange(64), np.asarray(C.ORDER_NATURAL)] = 1.0
 
     kd = _SLAB * tile_d
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -559,8 +566,6 @@ def expand_tiles(tiles, du0, q, n_groups):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kd, 64), lambda g, q: (q[g] + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda g, q: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
                                memory_space=pltpu.VMEM),
@@ -573,7 +578,7 @@ def expand_tiles(tiles, du0, q, n_groups):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(q, cand2d, cand2d, tiles2d, tiles2d, jnp.asarray(perm))
+    )(q, cand2d, cand2d, tiles2d, tiles2d)
     return out
 
 
@@ -736,6 +741,7 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
     if resolve_tile_mode(cfg.tuning.tile_mode, cfg.tile_auto) == "super":
         return assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
                                    cfg.super_w, s_trim=cfg.tuning.s_trim,
-                                   dot=resolve_super_dot(cfg.tuning.tile_dot))
+                                   dot=resolve_super_dot(cfg.tuning.tile_dot),
+                                   expand_dot=cfg.tuning.expand_dot)
     return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
                           cfg.tuning.tile_dot)

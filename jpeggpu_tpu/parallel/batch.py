@@ -90,18 +90,41 @@ def _merged_scan_coeffs(sp, scans_merged, batch: int):
 
 def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
                           with_idct: bool):
-    from ..ops.dc import undelta_dc
+    from ..ops.dc import undelta_dc, undelta_dc_values
     from ..ops.idct import dequant_idct_plane
     from ..ops.transpose import deinterleave
 
     batch = qtables.shape[0]
     planes_by_comp = {}
     qidx = {}
+    pix_by_comp = {}
+    # fused tail on TPU, mirroring pipeline.decode_pipeline: DC as a side
+    # vector + one stream->plane Pallas IDCT per (image, component). The
+    # split tail this replaces (vmapped full-stream undelta_dc rewrite +
+    # XLA 6D deinterleave + blocked IDCT) cost ~3x the whole fused tail
+    # PER IMAGE, which is why round-3 batch throughput trailed the
+    # single-image slope. The static per-image loop is fine at production
+    # batch sizes (DEFAULT_BATCH * comps Pallas instances per scan).
+    fused_tail = with_idct and jax.default_backend() == "tpu"
     for sp, ms in zip(signature.scans, merged_scans):
         coeffs = _merged_scan_coeffs(sp, ms, batch)
         cfg = sp.cfg
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
         t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
+
+        if fused_tail:
+            from ..ops.idct_pallas import idct_stream_to_plane
+
+            dcv = jax.vmap(
+                lambda co: undelta_dc_values(cfg, comp_slots, co))(coeffs)
+            for c in sp.comps:
+                pix_by_comp[c[0]] = jnp.stack([
+                    idct_stream_to_plane(
+                        coeffs[b], qtables[b, c[6]], sp.num_mcus_x,
+                        sp.num_mcus_y, cfg.du_per_mcu, c[1], c[2], c[3],
+                        dc_override=dcv[b])
+                    for b in range(batch)])
+            continue
 
         def tail(co):
             co = undelta_dc(cfg, comp_slots, co)
@@ -115,6 +138,9 @@ def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
 
     out = []
     for ci, (size_x, size_y) in enumerate(signature.comp_sizes):
+        if ci in pix_by_comp:
+            out.append(pix_by_comp[ci][:, :size_y, :size_x])
+            continue
         plane = planes_by_comp[ci]
         if with_idct:
             plane = jax.vmap(dequant_idct_plane)(plane, qtables[:, qidx[ci]])

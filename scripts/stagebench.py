@@ -71,6 +71,15 @@ def main() -> int:
         i = argv.index("--lane2d")
         lane2d = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --tuning k=v[,k=v...]: override arbitrary Tuning fields for
+    # same-session A/B probes (ints auto-converted)
+    tune_kv = {}
+    if "--tuning" in argv:
+        i = argv.index("--tuning")
+        for kv in argv[i + 1].split(","):
+            k, v = kv.split("=")
+            tune_kv[k] = int(v) if v.lstrip("-").isdigit() else v
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     image = args[0] if args else DEFAULT_IMAGE
     skip_full = "--skip-full" in sys.argv
@@ -78,7 +87,8 @@ def main() -> int:
     data = open(image, "rb").read()
     stream = parse(data)
     mp = stream.size_x * stream.size_y / 1e6
-    plan = build_plan(stream, tuning=Tuning(lane2d=lane2d))
+    plan = build_plan(stream, tuning=Tuning(lane2d=lane2d, **tune_kv))
+    out_tuning = {"lane2d": lane2d, **tune_kv}
     inputs = build_inputs(data, plan)
     sp = plan.signature.scans[0]
     cfg = sp.cfg
@@ -95,7 +105,7 @@ def main() -> int:
 
     out = {"image": image, "mp": round(mp, 2), "lanes": cfg.lanes,
            "num_subseq": cfg.num_subseq, "iters": iters,
-           "backend": jax.default_backend()}
+           "backend": jax.default_backend(), "tuning": out_tuning}
 
     def compile_probe(fn):
         return jax.jit(fn).lower(inp).compile()
@@ -332,7 +342,8 @@ def main() -> int:
                 val + bump.astype(val.dtype), wpos, m, du0,
                 cfg.total_positions, cfg.super_g, cfg.super_w,
                 s_trim=cfg.tuning.s_trim,
-                dot=WP.resolve_super_dot(cfg.tuning.tile_dot))
+                dot=WP.resolve_super_dot(cfg.tuning.tile_dot),
+                expand_dot=cfg.tuning.expand_dot)
 
         def pre_scan(i):
             return H.decode_scan(cfg, mk_arrs(i))

@@ -253,6 +253,77 @@ def test_sync_states_wide_follow(test_image, wide_follow, head_width):
     assert np.array_equal(got, expect)
 
 
+def test_sync_states_dot_gather(test_image):
+    """The one-hot MXU context gather (Tuning.ctx_gather="dot", the TPU
+    auto choice) compacts frontier rounds bit-identically to the plain
+    column take: converged states equal the sequential boundary states.
+    A narrow frontier width forces real compacted rounds on CPU."""
+    import dataclasses as _dc
+
+    from jpeggpu_tpu.config import Tuning
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=5, quality=95))
+    plan, inputs = _setup(data)
+    sp = plan.signature.scans[0]
+    cfg = _dc.replace(sp.cfg, tuning=Tuning(ctx_gather="dot",
+                                            chain_follow=2,
+                                            frontier_width=8))
+    inp = inputs["scans"][0]
+
+    def f(inp):
+        arrs = H.ScanArrays(
+            words=inp["words"], seg_of_subseq=inp["seg_of_subseq"],
+            seg_first_lane=inp["seg_first_lane"],
+            seg_num_subseq=inp["seg_num_subseq"], maxcode=inp["maxcode"],
+            vsm=inp["vsm"], huffval=inp["huffval"])
+        ctx = H.make_ctx(cfg, arrs)
+        return H.sync_states(cfg, arrs, ctx)
+
+    n_sub = parse(data).scans[0].num_subsequences
+    p, c, z, n = [np.asarray(x)[:n_sub]
+                  for x in jax.jit(f).lower(inp).compile()(inp)]
+    expect = golden.sequential_boundary_states(
+        plan.stream, plan.stream.scans[0], np.frombuffer(data, np.uint8))
+    got = np.stack([p, c, z, n], axis=1)
+    assert np.array_equal(got, expect)
+
+
+def test_expand_int8_shared_cells_extremes():
+    """The 2-plane signed-int8 expand dot is exact when several records sum
+    into one output cell (boundary data units shared between lanes in
+    different supertiles) at value extremes: int8 and f32 expand modes
+    agree on synthetic supertiles with overlapping bases."""
+    from jpeggpu_tpu.ops import write_pallas as WP
+
+    rng = np.random.default_rng(3)
+    n_st, D = 8, WP._SUPER_D
+    # sums stay within int16 (up to 8 overlapping rows x 4088), so both
+    # modes agree without saturation-vs-wrap ambiguity at the final cast
+    moderate = np.array([-4088, -4087, -256, -255, -129, -128, -127, -1,
+                         0, 1, 127, 128, 255, 256, 4086, 4087], np.int64)
+    stiles = rng.permuted(
+        np.resize(moderate, n_st * D * 64)).reshape(
+        n_st, D, 64).astype(np.int16)
+    # heavy overlap: consecutive supertiles only 16 data units apart, so
+    # most output rows sum 8 tile rows
+    base = (np.arange(n_st, dtype=np.int32) * 16)
+    # output rows 0..15 are covered only by supertile 0: full-range int16
+    # extremes exercise the plane split without overlap sums
+    extremes = np.array([-32768, -32767, -129, -128, -127, -1, 0, 1, 127,
+                         128, 255, 256, 32766, 32767, -256, 257], np.int64)
+    stiles[0, :16, :] = np.resize(extremes, (16, 64)).astype(np.int16)
+    n_groups = 2
+    q = np.zeros(n_groups, np.int32)
+    outs = {}
+    for dot in ("f32", "int8"):
+        outs[dot] = np.asarray(WP.expand_supertiles(
+            jnp.asarray(stiles), jnp.asarray(base), jnp.asarray(q),
+            n_groups, n_st, dot=dot)).astype(np.int16)
+    assert np.array_equal(outs["f32"], outs["int8"])
+    assert outs["f32"].any()
+
+
 @pytest.mark.parametrize("spec", [
     EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2),
     EncodeSpec(sampling=[(1, 1), (1, 1), (1, 1)]),
