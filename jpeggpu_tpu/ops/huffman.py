@@ -1436,12 +1436,15 @@ def _resolve_write_mode(cfg: ScanConfig) -> str:
 
 def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
                 pos_base=None, bound=None,
-                total_out: int | None = None) -> jax.Array:
+                total_out: int | None = None, return_dc: bool = False):
     """Full entropy decode of one scan: sync, offsets, write.
 
     Returns int16[total_positions] stream-order coefficients (natural order
     within each data unit, DC still difference-coded). The keyword overrides
-    support shard-local decode (see parallel/segments.py).
+    support shard-local decode (see parallel/segments.py). With
+    ``return_dc`` returns ``(coeffs, dc)`` where ``dc`` is the
+    per-data-unit difference-coded DC side vector (``None`` when the
+    active write mode has no cheap side output).
     """
     # named scopes tag the stages in HLO metadata so jax.profiler traces
     # (debug.profile_trace / bench.py --profile) attribute device time to
@@ -1452,13 +1455,13 @@ def decode_scan(cfg: ScanConfig, arrs: ScanArrays, *, num_subseq=None,
         n_off = symbol_offsets(cfg, arrs, n)
     return decode_scan_from_states(cfg, arrs, ctx, p, c, z, n_off,
                                    pos_base=pos_base, bound=bound,
-                                   total_out=total_out)
+                                   total_out=total_out, return_dc=return_dc)
 
 
 def decode_scan_from_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                             p, c, z, n_off, *, pos_base=None, bound=None,
                             total_out: int | None = None,
-                            entry=None) -> jax.Array:
+                            entry=None, return_dc: bool = False):
     """Writing decode from already-synced states: the write-stage dispatch
     of :func:`decode_scan`, callable with externally converged (p, c, z)
     and symbol offsets (subsequence-sharded decode syncs across shards
@@ -1471,19 +1474,22 @@ def decode_scan_from_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
             return write_pallas.decode_write_tiles(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
-                bound=bound, total_out=total_out, entry=entry)
+                bound=bound, total_out=total_out, entry=entry,
+                return_dc=return_dc)
         if mode == "fused":
             from . import huffman_pallas
 
-            return huffman_pallas.decode_write_fused(
+            coeffs = huffman_pallas.decode_write_fused(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
                 bound=bound, total_out=total_out, entry=entry)
-        if mode == "matmul":
+        elif mode == "matmul":
             total = cfg.total_positions if total_out is None else total_out
             val, wpos, m = decode_write_emit(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
                 bound=bound, total_out=total_out, entry=entry)
-            return assemble_coefficients(val, wpos, m, total)
-        return decode_write(cfg, arrs, ctx, p, c, z, n_off,
-                            pos_base=pos_base, bound=bound,
-                            total_out=total_out, entry=entry)
+            coeffs = assemble_coefficients(val, wpos, m, total)
+        else:
+            coeffs = decode_write(cfg, arrs, ctx, p, c, z, n_off,
+                                  pos_base=pos_base, bound=bound,
+                                  total_out=total_out, entry=entry)
+    return (coeffs, None) if return_dc else coeffs

@@ -58,14 +58,19 @@ _TILE_BLOCK = 64
 _GROUP_DU = 128
 _SLAB = 32
 # compacted width of one leftover-scatter round
-# the scatter costs ~8 ns per static element per round, so rounds are
-# narrow: typical content leaves a handful of leftover lanes, and the
-# while-loop takes more rounds only when content is pathological
-_LEFTOVER_K = 64
+# the scatter costs ~8 ns per static element per round plus a large fixed
+# fusion cost, so rounds are narrow: typical content leaves a HANDFUL of
+# leftover lanes (3 on the 12 MP bench image; profiled 2026-08-20: one
+# 64-lane round cost 0.64 ms, ~40 ns/element), and the while-loop takes
+# more rounds only when content is pathological
+_LEFTOVER_K = 8
 # supertile geometry (tile_mode="super"): rows per supertile and supertiles
 # per stage-1 kernel block
 _SUPER_D = 128
 _SUPER_SB = 8
+# columns of the expand kernel's narrow DC side output (column 0 is the DC
+# slot; 8 int16 columns keep the minor dim a whole 16-byte sublane)
+_DC_COLS = 8
 
 
 def _interpret() -> bool:
@@ -336,6 +341,7 @@ def _expand_super_kernel(W, dot, q_ref, *refs):
     cand_refs = refs[:W]
     tile_refs = refs[W:2 * W]
     out_ref = refs[2 * W]
+    dc_ref = refs[2 * W + 1]
     g = pl.program_id(0)
     j = g * _GROUP_DU + jax.lax.broadcasted_iota(
         jnp.int32, (_GROUP_DU, 1), 0)
@@ -362,12 +368,20 @@ def _expand_super_kernel(W, dot, q_ref, *refs):
         dhi = jax.lax.dot(sel, hi, preferred_element_type=jnp.int32)
         db0 = jax.lax.dot(sel, b0, preferred_element_type=jnp.int32)
         cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
-        out_ref[:] = ((dhi << 8) + db0 + (cnt << 7)).astype(jnp.int16)
+        acc16 = ((dhi << 8) + db0 + (cnt << 7)).astype(jnp.int16)
+        out_ref[:] = acc16
+        # DC side output: the first _DC_COLS natural-order columns (column
+        # 0 is the DC slot). Consumers read only column 0; the narrow
+        # block spares the DC stage a strided re-read of the full 37 MB
+        # coefficient stream (profiled at ~1.2 ms on the 12 MP bench).
+        dc_ref[:] = acc16[:, :_DC_COLS]
         return
     sel = jnp.where(hit, 1.0, 0.0)
     acc = jax.lax.dot(sel, tiles.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
-    out_ref[:] = acc.astype(jnp.int16)
+    acc16 = acc.astype(jnp.int16)
+    out_ref[:] = acc16
+    dc_ref[:] = acc16[:, :_DC_COLS]
 
 
 def expand_supertiles(stiles, base, q, n_groups: int, W: int,
@@ -378,7 +392,12 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
     ``q[g] .. q[g]+W-1`` whose data unit ``base[st] + d`` falls in the
     group; rows shared by two lanes in different supertiles sum here.
     Supertiles arrive already natural-order within each data unit
-    (stage 1 folds the zig-zag permutation into its one-hot compare)."""
+    (stage 1 folds the zig-zag permutation into its one-hot compare).
+
+    Returns ``(rows, dc_cols)``: the dense rows plus a narrow
+    (n_groups * _GROUP_DU, _DC_COLS) side output whose column 0 is each
+    data unit's (still difference-coded) DC coefficient — the DC stage
+    reads this instead of striding over the full coefficient stream."""
     n_st = stiles.shape[0]
     stiles2d = stiles.reshape(n_st * _SUPER_D, 64)
     cand2d = (base[:, None]
@@ -398,14 +417,19 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
         grid=(n_groups,),
         in_specs=[cand_spec(k) for k in range(W)]
         + [tile_spec(k) for k in range(W)],
-        out_specs=pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_GROUP_DU, _DC_COLS),
+                                lambda g, q: (g, 0),
+                                memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
         functools.partial(_expand_super_kernel, W, dot),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
-                                       jnp.int16),
+        out_shape=[jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
+                                        jnp.int16),
+                   jax.ShapeDtypeStruct((n_groups * _GROUP_DU, _DC_COLS),
+                                        jnp.int16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
@@ -448,11 +472,14 @@ def resolve_super_dot(mode: str) -> str:
 
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                         s_trim: int = 512, dot: str = "bf16",
-                        expand_dot: str = "auto"):
+                        expand_dot: str = "auto", return_dc: bool = False):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
-    coefficients, natural order within each data unit.
+    coefficients, natural order within each data unit. With
+    ``return_dc`` also returns int16[>= total//64] of per-data-unit
+    difference-coded DC values (the expand kernel's narrow side output,
+    leftover-corrected) for the DC stage.
 
     ``s_trim`` statically trims the record slot axis before the interleave
     and stage-1 contraction: the emit buffer is sized for the 1-bit-code
@@ -513,12 +540,16 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
     stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
                                      rows(pk), mmax_st, G, dot=dot)
-    out2d = expand_supertiles(stiles, base, q, n_groups, W,
-                              dot=resolve_expand_dot(expand_dot))
+    out2d, dc2d = expand_supertiles(stiles, base, q, n_groups, W,
+                                    dot=resolve_expand_dot(expand_dot))
 
     out_flat = out2d.reshape(-1)
-    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total,
-                                s_trim=s_trim)
+    dc_flat = dc2d[:, 0]
+    out_flat, dc_flat = scatter_leftover(out_flat, val, wpos, m, leftover,
+                                         total, s_trim=s_trim,
+                                         dc_flat=dc_flat)
+    if return_dc:
+        return out_flat[:total], dc_flat
     return out_flat[:total]
 
 
@@ -615,7 +646,7 @@ def _slab_index(du0, max_du, include, lanes, n_groups):
 
 
 def scatter_leftover(out_flat, val, wpos, m, leftover, total,
-                     s_trim: int = 512):
+                     s_trim: int = 512, dc_flat=None):
     """Element-scatter the records of leftover lanes until none remain.
 
     XLA:TPU scatter costs ~8 ns per STATIC element regardless of masking
@@ -627,17 +658,21 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
 
     ``out_flat`` carries a drop slot at index ``total`` and is in *natural*
     order (the expand kernel already permuted); leftover targets convert
-    zig-zag -> natural here."""
+    zig-zag -> natural here. When ``dc_flat`` is given (the expand
+    kernel's per-data-unit DC side vector), each round also adds its DC
+    records (zig-zag index 0) there, and ``(out_flat, dc_flat)`` is
+    returned — int16 wrap matches the later DC wrap arithmetic."""
     s_cap, lanes = val.shape
     K = min(_LEFTOVER_K, lanes)
     nat = jnp.asarray(np.asarray(C.ORDER_NATURAL, np.int32))
+    n_dc = 0 if dc_flat is None else dc_flat.shape[0]
 
-    def tier(out_flat, left, vals, wposs):
+    def tier(out_flat, dc_flat, left, vals, wposs):
         depth = vals.shape[0]
         slot_i = jnp.arange(depth, dtype=jnp.int32)[:, None]
 
         def body(state):
-            out, left = state
+            out, dc, left = state
             # fill slots get the OOB index `lanes` so the clearing scatter
             # drops them — clipping them to a real lane would duplicate that
             # index and XLA leaves the winner of duplicate scatter-sets
@@ -657,18 +692,33 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
             out = out.at[tgt.reshape(-1)].add(
                 jnp.where(ok, v, 0).reshape(-1), mode="drop",
                 unique_indices=False)
+            if dc is not None:
+                okdc = ok & ((w & 63) == 0)
+                # drop slot: one past the last real data unit of the
+                # padded side vector (n_dc - 1 >= total//64 always holds,
+                # consumers slice [:total//64])
+                dtgt = jnp.where(okdc, w >> 6, n_dc - 1)
+                dc = dc.at[dtgt.reshape(-1)].add(
+                    jnp.where(okdc, v, 0).reshape(-1), mode="drop",
+                    unique_indices=False)
             left = left.at[idx_raw].set(False, mode="drop")
-            return out, left
+            return out, dc, left
 
-        out_flat, _ = jax.lax.while_loop(
-            lambda s: jnp.any(s[1]), body, (out_flat, left))
-        return out_flat
+        out_flat, dc_flat, _ = jax.lax.while_loop(
+            lambda s: jnp.any(s[2]), body, (out_flat, dc_flat, left))
+        return out_flat, dc_flat
 
     S = min(s_trim, s_cap)
     if S == s_cap:
-        return tier(out_flat, leftover, val, wpos)
-    out_flat = tier(out_flat, leftover & (m <= S), val[:S], wpos[:S])
-    return tier(out_flat, leftover & (m > S), val, wpos)
+        out_flat, dc_flat = tier(out_flat, dc_flat, leftover, val, wpos)
+    else:
+        out_flat, dc_flat = tier(out_flat, dc_flat, leftover & (m <= S),
+                                 val[:S], wpos[:S])
+        out_flat, dc_flat = tier(out_flat, dc_flat, leftover & (m > S),
+                                 val, wpos)
+    if dc_flat is None:
+        return out_flat
+    return out_flat, dc_flat
 
 
 def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
@@ -725,8 +775,14 @@ def resolve_tile_mode(mode: str, auto_choice: str = "super") -> str:
 
 
 def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
-                       bound=None, total_out=None, entry=None):
-    """Drop-in for ops.huffman.decode_write using the tile-assembly path."""
+                       bound=None, total_out=None, entry=None,
+                       return_dc: bool = False):
+    """Drop-in for ops.huffman.decode_write using the tile-assembly path.
+
+    With ``return_dc`` returns ``(coeffs, dc)`` where ``dc`` is the
+    supertile path's per-data-unit DC side vector, or ``None`` when the
+    active mode has no cheap side output (per-lane tiles) — callers fall
+    back to extracting DC from the stream."""
     from . import huffman as H
 
     total = cfg.total_positions if total_out is None else total_out
@@ -739,9 +795,12 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
     if resolve_tile_mode(cfg.tuning.tile_mode, cfg.tile_auto) == "super":
-        return assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
-                                   cfg.super_w, s_trim=cfg.tuning.s_trim,
-                                   dot=resolve_super_dot(cfg.tuning.tile_dot),
-                                   expand_dot=cfg.tuning.expand_dot)
-    return assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
-                          cfg.tuning.tile_dot)
+        out = assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
+                                  cfg.super_w, s_trim=cfg.tuning.s_trim,
+                                  dot=resolve_super_dot(cfg.tuning.tile_dot),
+                                  expand_dot=cfg.tuning.expand_dot,
+                                  return_dc=return_dc)
+        return out
+    coeffs = assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
+                            cfg.tuning.tile_dot)
+    return (coeffs, None) if return_dc else coeffs

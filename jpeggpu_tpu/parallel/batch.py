@@ -64,7 +64,8 @@ def _batched_pipeline(signature: PlanSignature, scan_inputs, qtables,
 # single-image machinery once at B*lanes width, and split the coefficient
 # stream per image for the cheap tail stages.
 
-def _merged_scan_coeffs(sp, scans_merged, batch: int):
+def _merged_scan_coeffs(sp, scans_merged, batch: int,
+                        return_dc: bool = False):
     from ..ops.huffman import ScanArrays, decode_scan
 
     cfg0 = sp.cfg
@@ -79,13 +80,19 @@ def _merged_scan_coeffs(sp, scans_merged, batch: int):
         vsm=scans_merged["vsm"],
         huffval=scans_merged["huffval"],
     )
-    coeffs = decode_scan(
+    out = decode_scan(
         cfg_m, arrs,
         pos_base=scans_merged["pos_base"],
         bound=scans_merged["pos_bound"],
         total_out=batch * cfg0.total_positions,
+        return_dc=return_dc,
     )
-    return coeffs.reshape(batch, cfg0.total_positions)
+    if return_dc:
+        # coeffs stay FLAT: per-image views are static 1D slices, where a
+        # (batch, total) reshape relayouts whenever total is not a
+        # multiple of 128
+        return out
+    return out.reshape(batch, cfg0.total_positions)
 
 
 def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
@@ -107,7 +114,6 @@ def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
     # batch sizes (DEFAULT_BATCH * comps Pallas instances per scan).
     fused_tail = with_idct and jax.default_backend() == "tpu"
     for sp, ms in zip(signature.scans, merged_scans):
-        coeffs = _merged_scan_coeffs(sp, ms, batch)
         cfg = sp.cfg
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
         t_comps = [(c[1], c[2], c[3], 0) for c in sp.comps]
@@ -115,16 +121,24 @@ def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
         if fused_tail:
             from ..ops.idct_pallas import idct_stream_to_plane
 
-            dcv = jax.vmap(
-                lambda co: undelta_dc_values(cfg, comp_slots, co))(coeffs)
-            for c in sp.comps:
-                pix_by_comp[c[0]] = jnp.stack([
-                    idct_stream_to_plane(
-                        coeffs[b], qtables[b, c[6]], sp.num_mcus_x,
+            cflat, dcm = _merged_scan_coeffs(sp, ms, batch, return_dc=True)
+            T = cfg.total_positions
+            tdu = T // 64
+            planes_b = {c[0]: [] for c in sp.comps}
+            for b in range(batch):
+                cb = cflat[b * T:(b + 1) * T]
+                dcb = None if dcm is None else dcm[b * tdu:(b + 1) * tdu]
+                dcv = undelta_dc_values(cfg, comp_slots, cb, dc=dcb)
+                for c in sp.comps:
+                    planes_b[c[0]].append(idct_stream_to_plane(
+                        cb, qtables[b, c[6]], sp.num_mcus_x,
                         sp.num_mcus_y, cfg.du_per_mcu, c[1], c[2], c[3],
-                        dc_override=dcv[b])
-                    for b in range(batch)])
+                        dc_override=dcv))
+            for ci, ps in planes_b.items():
+                pix_by_comp[ci] = jnp.stack(ps)
             continue
+
+        coeffs = _merged_scan_coeffs(sp, ms, batch)
 
         def tail(co):
             co = undelta_dc(cfg, comp_slots, co)

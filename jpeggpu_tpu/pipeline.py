@@ -340,17 +340,20 @@ def decode_pipeline(signature: PlanSignature, scan_inputs: List[Dict],
             vsm=inp["vsm"],
             huffval=inp["huffval"],
         )
-        coeffs = decode_scan(cfg, arrs)
+        coeffs = decode_scan(cfg, arrs, return_dc=fused_tail)
         comp_slots = tuple((c[1], c[2] * c[3]) for c in sp.comps)
         if fused_tail:
             from .ops.dc import undelta_dc_values
             from .ops.idct_pallas import idct_stream_to_plane
 
+            coeffs, dcd = coeffs
             # DC un-delta as a side vector: the fused IDCT kernel overrides
             # slot 0 from it, so the DC stage never rewrites the 37 MB
-            # coefficient stream (the .at[:, 0].set form costs a full copy)
+            # coefficient stream (the .at[:, 0].set form costs a full
+            # copy). dcd, when the write path provides it, spares the
+            # strided slot-0 extraction too.
             with jax.named_scope("jpeggpu.dc"):
-                dcv = undelta_dc_values(cfg, comp_slots, coeffs)
+                dcv = undelta_dc_values(cfg, comp_slots, coeffs, dc=dcd)
             with jax.named_scope("jpeggpu.idct_fused"):
                 for c in sp.comps:
                     pix[c[0]] = idct_stream_to_plane(

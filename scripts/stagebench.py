@@ -367,6 +367,18 @@ def main() -> int:
             coeffs = pre_scan(i)
             return coeffs, st_dcv(coeffs, jnp.int32(0))
 
+        def pre_scan_dc(i):
+            return H.decode_scan(cfg, mk_arrs(i), return_dc=True)
+
+        def st_dcv2(st, bump):
+            # DC un-delta from the tile-assembly side vector: no strided
+            # slot-0 extraction of the coefficient stream
+            from jpeggpu_tpu.ops.dc import undelta_dc_values
+
+            coeffs, dc = st
+            return undelta_dc_values(cfg, comp_slots,
+                                     dc=dc + bump.astype(dc.dtype))
+
         def st_idct_all(st, bump):
             coeffs, dcv = st
             outs = [idct_stream_to_plane(
@@ -427,6 +439,7 @@ def main() -> int:
             ("asm_ms", pre_emit, st_asm),
             ("dc_ms", pre_scan, st_dc),
             ("dcv_ms", pre_scan, st_dcv),
+            ("dcv2_ms", pre_scan_dc, st_dcv2),
             ("idct_ms", pre_dcv, st_idct_all),
             ("noff_ms", pre_sync, st_noff),
         ]

@@ -151,6 +151,15 @@ def main() -> int:
             ("tbs_cf8_wf4", dict(hv_lookup="tree", category="bsearch",
                                  refill="shift", chain_follow=8,
                                  wide_follow=4)),
+            # dot-gather era (ctx_gather=auto=dot): with the one-hot MXU
+            # context gather, compacted rounds are cheap enough that wider
+            # frontiers (fewer full-width phase-A rounds) may win
+            ("fw4096", dict(frontier_width=4096)),
+            ("fw8192", dict(frontier_width=8192)),
+            ("fw12288", dict(frontier_width=12288)),
+            ("fw8192_f4", dict(frontier_width=8192, chain_follow=4)),
+            ("fw4096_hw2048", dict(frontier_width=4096, head_width=2048)),
+            ("take", dict(ctx_gather="take")),
         ]
         for name, kw in sync_cfgs:
             if only is not None and name not in only:
@@ -306,8 +315,9 @@ def main() -> int:
                         acc = s.astype(jnp2.int16)
                         tot = tot + s
                         continue
-                    out2 = WP.expand_supertiles(stiles, base, q, n_groups,
-                                                min(W, n_st))
+                    out2, _dc2 = WP.expand_supertiles(stiles, base, q,
+                                                      n_groups,
+                                                      min(W, n_st))
                     s = out2[0, 0].astype(jnp2.int32) \
                         + out2[-1, -1].astype(jnp2.int32)
                     acc = s.astype(jnp2.int16)

@@ -316,12 +316,18 @@ def test_expand_int8_shared_cells_extremes():
     n_groups = 2
     q = np.zeros(n_groups, np.int32)
     outs = {}
+    dcs = {}
     for dot in ("f32", "int8"):
-        outs[dot] = np.asarray(WP.expand_supertiles(
+        o, d = WP.expand_supertiles(
             jnp.asarray(stiles), jnp.asarray(base), jnp.asarray(q),
-            n_groups, n_st, dot=dot)).astype(np.int16)
+            n_groups, n_st, dot=dot)
+        outs[dot] = np.asarray(o).astype(np.int16)
+        dcs[dot] = np.asarray(d).astype(np.int16)
     assert np.array_equal(outs["f32"], outs["int8"])
     assert outs["f32"].any()
+    # the DC side output's column 0 equals the dense rows' column 0
+    for dot in ("f32", "int8"):
+        assert np.array_equal(dcs[dot][:, 0], outs[dot][:, 0])
 
 
 @pytest.mark.parametrize("spec", [
@@ -656,6 +662,92 @@ def test_idct_pallas_interpret_matches_xla():
         out = np.asarray(ip.dequant_idct_blocks_pallas(
             jnp.asarray(blocks), jnp.asarray(q)))
     assert np.array_equal(ref, out)
+
+
+def test_decode_scan_dc_side_output(test_image):
+    """decode_scan(return_dc=True) on the supertile write path returns a DC
+    side vector equal to the assembled stream's slot-0 column — including
+    leftover-lane corrections (the flat-gray image drains every lane
+    through the leftover scatter)."""
+    from jpeggpu_tpu.config import Tuning
+
+    flat = np.full((128, 136), 130, np.uint8)
+    cases = [
+        encode(test_image, EncodeSpec(
+            sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2)),
+        encode(flat, EncodeSpec(quality=50)),
+    ]
+    for data in cases:
+        plan = build_plan(parse(data), tuning=Tuning(write_mode="tiles",
+                                                     tile_mode="super"))
+        inputs = build_inputs(data, plan)
+        sp = plan.signature.scans[0]
+        cfg = sp.cfg
+        i = inputs["scans"][0]
+        arrs = H.ScanArrays(
+            words=jnp.asarray(i["words"]),
+            seg_of_subseq=jnp.asarray(i["seg_of_subseq"]),
+            seg_first_lane=jnp.asarray(i["seg_first_lane"]),
+            seg_num_subseq=jnp.asarray(i["seg_num_subseq"]),
+            maxcode=jnp.asarray(i["maxcode"]), vsm=jnp.asarray(i["vsm"]),
+            huffval=jnp.asarray(i["huffval"]))
+        coeffs, dc = H.decode_scan(cfg, arrs, return_dc=True)
+        assert dc is not None
+        total_du = cfg.total_mcus * cfg.du_per_mcu
+        want = np.asarray(coeffs).reshape(total_du, 64)[:, 0]
+        assert np.array_equal(np.asarray(dc)[:total_du], want)
+
+
+@pytest.mark.parametrize("du_per_mcu,mcus_per_seg,total_mcus", [
+    (6, 3, 200),    # seg_du 18, g 64, nseg 67 -> aligned path
+    (6, 42, 400),   # seg_du 252, g 32, nseg 10 -> fallback path
+    (3, 128, 1000), # seg_du 384, g 1 (128-aligned rows), partial last seg
+    (1, 7, 2000),   # seg_du 7 (odd), g 128, nseg 286 -> aligned path
+])
+def test_undelta_dc_values_aligned_fold(du_per_mcu, mcus_per_seg,
+                                        total_mcus):
+    """The lane-aligned 2D-fold segmented DC cumsum (_dcv_aligned) and the
+    dc= side-vector input are bit-identical to a direct numpy reference
+    (segmented per-component cumsum with int16 wrap), across aligned,
+    fallback, odd-segment and partial-final-segment geometries."""
+    from jpeggpu_tpu.ops.dc import undelta_dc_values
+
+    cfg = H.ScanConfig(
+        num_subseq=8, lanes=8, num_segments=1, du_per_mcu=du_per_mcu,
+        mcus_per_seg=mcus_per_seg, total_mcus=total_mcus,
+        comp_groups=((du_per_mcu, 0, 1),))
+    total_du = total_mcus * du_per_mcu
+    rng = np.random.default_rng(13)
+    dc = rng.integers(-2048, 2048, total_du).astype(np.int16)
+    coeffs = np.zeros((total_du, 64), np.int16)
+    coeffs[:, 0] = dc
+    if du_per_mcu == 6:
+        comp_slots = ((0, 4), (4, 1), (5, 1))
+    elif du_per_mcu == 3:
+        comp_slots = ((0, 1), (1, 1), (2, 1))
+    else:
+        comp_slots = ((0, 1),)
+
+    # numpy reference: per component, segmented cumsum over its slots
+    seg_du = mcus_per_seg * du_per_mcu
+    slot = np.arange(total_du) % du_per_mcu
+    seg = np.arange(total_du) // seg_du
+    ref = np.zeros(total_du, np.int64)
+    for off, cnt in comp_slots:
+        sel = (slot >= off) & (slot < off + cnt)
+        for s in range(seg.max() + 1):
+            idx = np.nonzero(sel & (seg == s))[0]
+            ref[idx] = np.cumsum(dc[idx].astype(np.int64))
+    ref16 = ((ref + 0x8000) % 0x10000 - 0x8000).astype(np.int16)
+
+    got = np.asarray(undelta_dc_values(cfg, comp_slots,
+                                       jnp.asarray(coeffs.reshape(-1))))
+    assert np.array_equal(got, ref16)
+    # dc= side-vector input (padded like the expand side output)
+    dcp = np.concatenate([dc, np.zeros(129, np.int16)])
+    got2 = np.asarray(undelta_dc_values(cfg, comp_slots,
+                                        dc=jnp.asarray(dcp)))
+    assert np.array_equal(got2, ref16)
 
 
 @pytest.mark.parametrize("spec", [
