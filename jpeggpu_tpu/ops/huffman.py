@@ -221,11 +221,19 @@ def _resolve_ctx_gather(cfg: ScanConfig) -> str:
     """Tuning.ctx_gather; "auto" selects the one-hot MXU dot gather on
     non-CPU backends (XLA:TPU column gathers cost ~8 ns per element, so
     compacting a 4096-column frontier round's 40-row context was the
-    dominant cost of the round) and the plain take on CPU."""
+    dominant cost of the round) and the plain take on CPU.
+
+    The dot gather materializes a (lanes, K) int8 one-hot in HBM per
+    round; at merged-batch widths that dwarfs what it saves (profiled
+    2026-08-20: 38 ms/round at lanes=196608, K=16384 vs ~0.5 ms at
+    single-image 24576 x 4096), so auto falls back to take past the
+    single-image lane buckets."""
     mode = cfg.tuning.ctx_gather
     if mode != "auto":
         return mode
-    return "take" if jax.default_backend() == "cpu" else "dot"
+    if jax.default_backend() == "cpu" or cfg.lanes > 49152:
+        return "take"
+    return "dot"
 
 
 def make_ctx_gatherer(cfg: ScanConfig, ctx: _Ctx):

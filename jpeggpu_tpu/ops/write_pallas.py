@@ -58,12 +58,13 @@ _TILE_BLOCK = 64
 _GROUP_DU = 128
 _SLAB = 32
 # compacted width of one leftover-scatter round
-# the scatter costs ~8 ns per static element per round plus a large fixed
-# fusion cost, so rounds are narrow: typical content leaves a HANDFUL of
-# leftover lanes (3 on the 12 MP bench image; profiled 2026-08-20: one
-# 64-lane round cost 0.64 ms, ~40 ns/element), and the while-loop takes
-# more rounds only when content is pathological
-_LEFTOVER_K = 8
+# the scatter costs ~8 ns per static element per round, so rounds are
+# narrow: typical content leaves a handful of leftover lanes, and the
+# while-loop takes more rounds only when content is pathological.
+# Profiled 2026-08-20: one 64-lane round costs ~0.6 ms (mostly fixed
+# fusion cost); shrinking K to 8 made the round's nonzero compaction
+# lower pathologically (+4 ms) — do NOT narrow this below 64
+_LEFTOVER_K = 64
 # supertile geometry (tile_mode="super"): rows per supertile and supertiles
 # per stage-1 kernel block
 _SUPER_D = 128
@@ -472,14 +473,21 @@ def resolve_super_dot(mode: str) -> str:
 
 def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                         s_trim: int = 512, dot: str = "bf16",
-                        expand_dot: str = "auto", return_dc: bool = False):
+                        expand_dot: str = "auto", return_dc: bool = False,
+                        pos_offset: int = 0):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
     Same contract as :func:`assemble_tiles`: int16[total] stream-order
     coefficients, natural order within each data unit. With
-    ``return_dc`` also returns int16[>= total//64] of per-data-unit
-    difference-coded DC values (the expand kernel's narrow side output,
-    leftover-corrected) for the DC stage.
+    ``return_dc`` also returns an int16[>= total//64] vector of
+    per-data-unit difference-coded DC values (the expand kernel's narrow
+    side output, leftover-corrected) for the DC stage.
+
+    ``pos_offset`` (a multiple of 64) rebases globally-emitted record
+    positions to this call's [0, total) range — merged-lane batches slice
+    their emit buffers per image and assemble each image at single-image
+    shapes (parallel/batch.py), passing the image's position base here;
+    ``du0_raw`` must already be rebased by the caller.
 
     ``s_trim`` statically trims the record slot axis before the interleave
     and stage-1 contraction: the emit buffer is sized for the 1-bit-code
@@ -514,7 +522,8 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
 
     slot = jnp.arange(S, dtype=jnp.int32)[:, None]
     valid = (slot < m[None, :]) & (wpos_t >= 0)
-    du = wpos_t >> 6
+    assert pos_offset % C.DATA_UNIT_SIZE == 0
+    du = (wpos_t >> 6) - pos_offset // C.DATA_UNIT_SIZE
     max_du = jnp.max(jnp.where(valid, du, -1), axis=0)
     span_over = (max_du - base_l) >= _SUPER_D
     inc1 = ~(span_over | unsorted | over_trim) & (m > 0)
@@ -544,12 +553,16 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
                                     dot=resolve_expand_dot(expand_dot))
 
     out_flat = out2d.reshape(-1)
-    dc_flat = dc2d[:, 0]
-    out_flat, dc_flat = scatter_leftover(out_flat, val, wpos, m, leftover,
-                                         total, s_trim=s_trim,
-                                         dc_flat=dc_flat)
     if return_dc:
+        dc_flat = dc2d[:, 0]
+        out_flat, dc_flat = scatter_leftover(out_flat, val, wpos, m,
+                                             leftover, total, s_trim=s_trim,
+                                             dc_flat=dc_flat,
+                                             pos_offset=pos_offset)
         return out_flat[:total], dc_flat
+    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover,
+                                total, s_trim=s_trim,
+                                pos_offset=pos_offset)
     return out_flat[:total]
 
 
@@ -646,7 +659,8 @@ def _slab_index(du0, max_du, include, lanes, n_groups):
 
 
 def scatter_leftover(out_flat, val, wpos, m, leftover, total,
-                     s_trim: int = 512, dc_flat=None):
+                     s_trim: int = 512, dc_flat=None,
+                     pos_offset: int = 0):
     """Element-scatter the records of leftover lanes until none remain.
 
     XLA:TPU scatter costs ~8 ns per STATIC element regardless of masking
@@ -658,10 +672,13 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
 
     ``out_flat`` carries a drop slot at index ``total`` and is in *natural*
     order (the expand kernel already permuted); leftover targets convert
-    zig-zag -> natural here. When ``dc_flat`` is given (the expand
-    kernel's per-data-unit DC side vector), each round also adds its DC
-    records (zig-zag index 0) there, and ``(out_flat, dc_flat)`` is
-    returned — int16 wrap matches the later DC wrap arithmetic."""
+    zig-zag -> natural here. The scatter form is deliberately FLAT with
+    1D targets: a 2D (data unit, column) scatter-add was tried and XLA:TPU
+    lowered it as a transposed-copy loop (profiled 2026-08-20: 3.8 s on a
+    B=8 merged batch vs ~2 ms flat). When ``dc_flat`` is given (the
+    expand kernel's per-data-unit DC side vector), each round also adds
+    its DC records (zig-zag index 0) there, and ``(out_flat, dc_flat)``
+    is returned — int16 wrap matches the later DC wrap arithmetic."""
     s_cap, lanes = val.shape
     K = min(_LEFTOVER_K, lanes)
     nat = jnp.asarray(np.asarray(C.ORDER_NATURAL, np.int32))
@@ -683,7 +700,9 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
             sel = idx_raw < lanes
             idx = jnp.clip(idx_raw, 0, lanes - 1)
             v = vals[:, idx].astype(jnp.int16)
-            w = wposs[:, idx]
+            # rebase global record positions (inert slots carry -1 and
+            # stay negative: pos_offset >= 0)
+            w = wposs[:, idx] - pos_offset
             mm = m[idx]
             ok = sel[None, :] & (slot_i < mm[None, :]) & (w >= 0)
             w = jnp.clip(w, 0, total - 1)

@@ -95,6 +95,66 @@ def _merged_scan_coeffs(sp, scans_merged, batch: int,
     return out.reshape(batch, cfg0.total_positions)
 
 
+def _merged_scan_coeffs_split(sp, scans_merged, batch: int):
+    """Merged-lane entropy decode, per-image coefficient assembly.
+
+    Sync/offsets/emit run once at batch*lanes width (the per-symbol fixed
+    costs amortize across images — the point of merging), but the write
+    assembly runs per image at single-image shapes: the merged-size
+    leftover scatter and flatten relayouts lower pathologically on
+    XLA:TPU (profiled 2026-08-20: ~60 ms of full-array copies per batch
+    at B=8), while stage1/expand cost exactly B x the single-image price
+    either way. Emit-buffer lane slices are layout-aligned (the per-image
+    lane bucket is a multiple of 128).
+
+    Returns a list of (coeffs, dc) per image; falls back to the whole-
+    merged decode for per-lane tile scans (rare: sparse mid-quality
+    streams), returning (coeffs, None) tuples.
+    """
+    from ..ops import huffman as H
+    from ..ops import write_pallas as WP
+    from ..ops.huffman import ScanArrays
+
+    cfg0 = sp.cfg
+    L = cfg0.lanes
+    T = cfg0.total_positions
+    tdu = T // 64
+    mode = WP.resolve_tile_mode(cfg0.tuning.tile_mode, cfg0.tile_auto)
+    if mode != "super":
+        co = _merged_scan_coeffs(sp, scans_merged, batch, return_dc=True)[0]
+        return [(co[b * T:(b + 1) * T], None) for b in range(batch)]
+
+    cfg_m = dataclasses.replace(cfg0, lanes=batch * L, num_subseq=batch * L)
+    arrs = ScanArrays(
+        words=scans_merged["words"],
+        seg_of_subseq=scans_merged["seg_of_subseq"],
+        seg_first_lane=scans_merged["seg_first_lane"],
+        seg_num_subseq=scans_merged["seg_num_subseq"],
+        maxcode=scans_merged["maxcode"],
+        vsm=scans_merged["vsm"],
+        huffval=scans_merged["huffval"],
+    )
+    ctx = H.make_ctx(cfg_m, arrs)
+    p, c, z, n = H.sync_states(cfg_m, arrs, ctx)
+    n_off = H.symbol_offsets(cfg_m, arrs, n)
+    val, wpos, m = H.decode_write_emit(
+        cfg_m, arrs, ctx, p, c, z, n_off,
+        pos_base=scans_merged["pos_base"], bound=scans_merged["pos_bound"],
+        total_out=batch * T)
+    du0 = (scans_merged["pos_base"] + n_off) >> 6
+    out = []
+    for b in range(batch):
+        sl = slice(b * L, (b + 1) * L)
+        co, dcb = WP.assemble_supertiles(
+            val[:, sl], wpos[:, sl], m[sl], du0[sl] - b * tdu, T,
+            cfg0.super_g, cfg0.super_w, s_trim=cfg0.tuning.s_trim,
+            dot=WP.resolve_super_dot(cfg0.tuning.tile_dot),
+            expand_dot=cfg0.tuning.expand_dot, return_dc=True,
+            pos_offset=b * T)
+        out.append((co, dcb))
+    return out
+
+
 def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
                           with_idct: bool):
     from ..ops.dc import undelta_dc, undelta_dc_values
@@ -121,13 +181,9 @@ def _merged_pipeline_body(signature: PlanSignature, merged_scans, qtables,
         if fused_tail:
             from ..ops.idct_pallas import idct_stream_to_plane
 
-            cflat, dcm = _merged_scan_coeffs(sp, ms, batch, return_dc=True)
-            T = cfg.total_positions
-            tdu = T // 64
+            per_image = _merged_scan_coeffs_split(sp, ms, batch)
             planes_b = {c[0]: [] for c in sp.comps}
-            for b in range(batch):
-                cb = cflat[b * T:(b + 1) * T]
-                dcb = None if dcm is None else dcm[b * tdu:(b + 1) * tdu]
+            for b, (cb, dcb) in enumerate(per_image):
                 dcv = undelta_dc_values(cfg, comp_slots, cb, dc=dcb)
                 for c in sp.comps:
                     planes_b[c[0]].append(idct_stream_to_plane(

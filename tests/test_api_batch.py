@@ -138,6 +138,52 @@ def test_merged_batch_bitexact(test_image):
             assert np.array_equal(a, b)
 
 
+def test_merged_split_assembly_bitexact(test_image):
+    """Merged sync/emit + per-image supertile assembly with pos_offset
+    rebasing (_merged_scan_coeffs_split, the fused batch tail's scan
+    stage) equals per-image decode_scan exactly — coefficients and DC
+    side vectors."""
+    import jax.numpy as jnp
+
+    from jpeggpu_tpu.config import Tuning
+    from jpeggpu_tpu.ops import huffman as H
+    from jpeggpu_tpu.parallel.batch import (_merged_scan_coeffs_split,
+                                            _tables_shared,
+                                            merge_scan_inputs)
+    from jpeggpu_tpu.pipeline import build_inputs, build_plan
+    from jpeggpu_tpu.reader import parse
+
+    tuning = Tuning(write_mode="tiles", tile_mode="super")
+    # the same stream twice: image 1 still exercises the pos_offset
+    # rebase (its positions sit at [T, 2T) in the merged emit)
+    data = encode(test_image, EncodeSpec(
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3))
+    datas = [data, data]
+    plans = [build_plan(parse(d), tuning=tuning) for d in datas]
+    assert plans[0].signature == plans[1].signature
+    inputs = [build_inputs(d, p) for d, p in zip(datas, plans)]
+    sig = plans[0].signature
+    sp = sig.scans[0]
+    assert _tables_shared([bi["scans"][0] for bi in inputs])
+    merged = merge_scan_inputs(sp, [bi["scans"][0] for bi in inputs])
+    out = _merged_scan_coeffs_split(
+        sp, {k: jnp.asarray(v) for k, v in merged.items()}, 2)
+    tdu = sp.cfg.total_positions // 64
+    for bi, (co, dc) in zip(inputs, out):
+        i = bi["scans"][0]
+        arrs = H.ScanArrays(
+            words=jnp.asarray(i["words"]),
+            seg_of_subseq=jnp.asarray(i["seg_of_subseq"]),
+            seg_first_lane=jnp.asarray(i["seg_first_lane"]),
+            seg_num_subseq=jnp.asarray(i["seg_num_subseq"]),
+            maxcode=jnp.asarray(i["maxcode"]), vsm=jnp.asarray(i["vsm"]),
+            huffval=jnp.asarray(i["huffval"]))
+        ref, refdc = H.decode_scan(sp.cfg, arrs, return_dc=True)
+        assert np.array_equal(np.asarray(co), np.asarray(ref))
+        assert np.array_equal(np.asarray(dc)[:tdu],
+                              np.asarray(refdc)[:tdu])
+
+
 def test_mixed_stream_lengths_share_one_executable():
     """Images of equal pixel geometry but very different stream lengths
     (different lane buckets) pad up to the group max and share ONE
