@@ -238,22 +238,44 @@ def _synth_config(name, size, restart_rows=True, quality=90):
     return open(path, "rb").read()
 
 
-def bench_all(iters):
-    """Multi-config table (reference README.md:51-65 analog), stderr."""
+def bench_all(iters, out_path=None):
+    """Multi-config table (reference README.md:51-65 analog), stderr.
+
+    Per size: single-dispatch latency AND the RTT-free device slope (the
+    cross-size scaling number comparable to the reference's table — its
+    weakest size class is 26 MP at 1.8 GP/s). With ``out_path`` the
+    per-size results are written as a JSON artifact for the round record.
+    """
     configs = [
-        ("06mp 4:2:0", lambda: _synth_config("06mp", (2848, 2136))),
-        ("12mp 4:2:0 (IMG_6510)", lambda: open(IMAGE, "rb").read()),
-        ("26mp 4:2:0", lambda: _synth_config("26mp", (6240, 4160))),
-        ("39mp 4:2:0", lambda: _synth_config("39mp", (7644, 5104))),
+        ("06mp", lambda: _synth_config("06mp", (2848, 2136))),
+        ("12mp_bus_class", lambda: open(IMAGE, "rb").read()),
+        ("26mp", lambda: _synth_config("26mp", (6240, 4160))),
+        ("39mp", lambda: _synth_config("39mp", (7644, 5104))),
     ]
-    print(f"{'config':24s} {'img/s':>8s} {'avg ms':>8s} {'max ms':>8s} "
-          f"{'MP/s':>8s}", file=sys.stderr)
+    # reference MP/s per size class, derived from README.md:51-65
+    ref_mps = {"06mp": 3420.0, "12mp_bus_class": 2738.0, "26mp": 1800.0,
+               "39mp": 6200.0}
+    print(f"{'config':16s} {'img/s':>8s} {'avg ms':>8s} {'max ms':>8s} "
+          f"{'dev ms':>8s} {'MP/s dev':>9s} {'vs ref':>7s}", file=sys.stderr)
     results = {}
     for name, get in configs:
-        s = _bench_one(get(), iters=iters)
+        data = get()
+        s = _bench_one(data, iters=iters)
+        sl = _bench_slope(data, iters=max(iters // 2, 5))
+        s["device_ms"] = sl["device_ms"]
+        s["device_mps"] = sl["mps"]
+        s["vs_ref_size"] = round(sl["mps"] / ref_mps[name], 4)
         results[name] = s
-        print(f"{name:24s} {s['img_s']:8.2f} {s['avg_ms']:8.1f} "
-              f"{s['max_ms']:8.1f} {s['mps']:8.1f}", file=sys.stderr,
+        print(f"{name:16s} {s['img_s']:8.2f} {s['avg_ms']:8.1f} "
+              f"{s['max_ms']:8.1f} {sl['device_ms']:8.2f} "
+              f"{sl['mps']:9.1f} {s['vs_ref_size']:7.3f}",
+              file=sys.stderr, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({k: {kk: (round(vv, 3) if isinstance(vv, float)
+                               else vv) for kk, vv in v.items()}
+                       for k, v in results.items()}, f, indent=1)
+        print(f"per-size artifact written to {out_path}", file=sys.stderr,
               flush=True)
     return results
 
@@ -321,7 +343,11 @@ def main():
         return 0
 
     if "--all" in sys.argv:
-        bench_all(iters)
+        out_path = None
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+        bench_all(iters, out_path=out_path)
+        return 0
     if "--batch" in sys.argv:
         b = 8
         if "--batch-size" in sys.argv:
@@ -395,6 +421,9 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": round(sl["mps"] / BASELINE_MPS, 4),
         "device_ms_slope": round(sl["device_ms"], 2),
+        # single-image device-time latency, RTT-free — the row chasing the
+        # reference's 4.41 ms whole-pipeline 12 MP average (README.md:54)
+        "latency_device_ms": round(sl["device_ms"], 2),
         "stream_mps": round(s["mps"], 2),
         "single_dispatch_avg_ms": round(lat["avg_ms"], 2),
         "single_dispatch_max_ms": round(lat["max_ms"], 2),

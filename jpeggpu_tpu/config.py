@@ -48,6 +48,13 @@ class Tuning:
         each chain one subsequence per wide round; larger values multiply
         per-round pass work by the same factor but divide the wide round
         count. 0 selects 1.
+      tail_width: chain-head capacity of the final tail tier. Once fewer
+        than this many chains survive the narrow tier, rounds shrink to
+        this width at depth tail_follow — the last few chains (the 12 MP
+        bench spends ~6 rounds fixing <10 lanes each) drain on the
+        narrowest possible rounds. 0 selects 64; values >= head_width
+        disable the tier.
+      tail_follow: chain-follow depth of the tail tier. 0 selects 4.
       entropy_backend: "auto" | "xla" | "pallas" — implementation of the
         per-symbol decode loops. "auto" selects the fused Pallas kernels on
         TPU backends and the XLA formulation elsewhere.
@@ -130,6 +137,8 @@ class Tuning:
     chain_follow: int = 0
     head_width: int = 0
     wide_follow: int = 0
+    tail_width: int = 0
+    tail_follow: int = 0
     entropy_backend: str = "auto"
     write_mode: str = "auto"
     tile_dot: str = "auto"
@@ -148,13 +157,24 @@ class Tuning:
     # the dominant cost of a compacted round; "dot" gathers all 40 rows
     # with one int8 byte-plane one-hot matmul on the MXU (exact: one-hot
     # columns select exactly one lane; int32 recombines from the four
-    # signed byte planes). "auto" selects dot on non-CPU backends.
+    # signed byte planes); "rows" repacks the context as one contiguous
+    # (lanes, 40) int32 row matrix built once per decode so a round
+    # compacts with a single embedding-style row take — scales to any
+    # width. "auto" selects rows on non-CPU backends.
     ctx_gather: str = "auto"
     # expand-kernel dot dtype of the supertile assembly
     # (ops/write_pallas.py resolve_expand_dot): "auto" -> the 2-plane
     # signed-int8 split (single-pass MXU, exact for any per-cell record
     # count); "f32" -> plain f32 dot (exact, multi-pass)
     expand_dot: str = "auto"
+    # data units per expand-kernel output group (multiple of 128; 0 = auto,
+    # resolved by build_plan — see ScanConfig.group_du)
+    group_du: int = 0
+    # supertile geometry overrides (0 = auto, resolved by build_plan —
+    # see ScanConfig.super_g / ScanConfig.super_d): lanes per supertile
+    # group and data-unit rows per supertile window
+    super_g: int = 0
+    super_d: int = 0
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -184,12 +204,21 @@ class Tuning:
         if self.lane2d not in ("auto", "off"):
             raise ValueError(
                 f"lane2d must be auto|off, got {self.lane2d!r}")
-        if self.ctx_gather not in ("auto", "take", "dot"):
+        if self.ctx_gather not in ("auto", "take", "dot", "rows"):
             raise ValueError(
-                f"ctx_gather must be auto|take|dot, got {self.ctx_gather!r}")
+                f"ctx_gather must be auto|take|dot|rows, "
+                f"got {self.ctx_gather!r}")
         if self.expand_dot not in ("auto", "f32", "int8"):
             raise ValueError(
                 f"expand_dot must be auto|f32|int8, got {self.expand_dot!r}")
+        if self.group_du < 0 or self.group_du % 128:
+            raise ValueError(
+                "group_du must be a multiple of 128, or 0 (auto)")
+        if self.super_g < 0 or (self.super_g & (self.super_g - 1)):
+            raise ValueError("super_g must be a power of two, or 0 (auto)")
+        if self.super_d < 0 or self.super_d % 8:
+            raise ValueError(
+                "super_d must be a multiple of 8, or 0 (auto)")
         for name in ("write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
@@ -203,6 +232,10 @@ class Tuning:
             raise ValueError("head_width must be >= 0 (0 = auto)")
         if self.wide_follow < 0:
             raise ValueError("wide_follow must be >= 0 (0 = auto)")
+        if self.tail_width < 0:
+            raise ValueError("tail_width must be >= 0 (0 = auto)")
+        if self.tail_follow < 0:
+            raise ValueError("tail_follow must be >= 0 (0 = auto)")
         # power-of-two <= 128: keeps every 128-slot assembly-round boundary
         # aligned to a bit-buffer refill, so those slots are never stall
         # holes (ops/huffman.py assemble_coefficients reads slot 0's du);

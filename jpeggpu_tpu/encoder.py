@@ -194,6 +194,12 @@ class EncodeSpec:
     # override Huffman tables: {(class, id): (counts[16], values)} — class
     # 0=DC, 1=AC; used by tests to exercise unusual (e.g. saturated) tables
     huff_overrides: Optional[dict] = None
+    # emit a DHT before EVERY SOS, rebuilding each scan's tables from that
+    # scan's own symbol statistics — the same table ids carry different
+    # contents per scan (T.81 allows redefinition between scans; decoders
+    # must snapshot tables at each SOS, cf. reference reader.cpp:434-441).
+    # Meaningful for multi-scan (non-interleaved) streams; used by tests.
+    dht_per_scan: bool = False
 
 
 def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
@@ -328,10 +334,12 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
                       qtable_ids[ci]])
     marker(C.MARKER_SOF0, bytes(sof))
-    for (cls, tid) in used_huff:
-        counts, values = huff_specs[(cls, tid)]
-        payload = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(values)
-        marker(C.MARKER_DHT, payload)
+    if not spec.dht_per_scan:
+        for (cls, tid) in used_huff:
+            counts, values = huff_specs[(cls, tid)]
+            payload = (bytes([(cls << 4) | tid]) + bytes(counts)
+                       + bytes(values))
+            marker(C.MARKER_DHT, payload)
     if spec.restart_interval:
         marker(C.MARKER_DRI, spec.restart_interval.to_bytes(2, "big"))
 
@@ -360,6 +368,29 @@ def encode(planes_or_rgb, spec: EncodeSpec = EncodeSpec()) -> bytes:
         out.extend(writer.out)
 
     for comp_indices in scan_groups:
+        if spec.dht_per_scan:
+            # per-scan optimal tables under the SAME ids: a DHT between
+            # SOSs redefines them, so a decoder that fails to snapshot
+            # tables per scan decodes earlier scans with later tables
+            keys = sorted(
+                {(C.HUFF_DC, table_ids[ci][0]) for ci in comp_indices} |
+                {(C.HUFF_AC, table_ids[ci][1]) for ci in comp_indices})
+            freqs = {k: np.zeros(256, np.int64) for k in keys}
+            counters = {k: _SymbolCounter(freqs[k]) for k in keys}
+            null_writer = _NullWriter()
+            pred = {ci: 0 for ci in comp_indices}
+            for ci, du, restart in scan_du_iter(comp_indices):
+                if restart:
+                    pred = {c: 0 for c in comp_indices}
+                _encode_du(null_writer, du, pred, ci,
+                           counters[(C.HUFF_DC, table_ids[ci][0])],
+                           counters[(C.HUFF_AC, table_ids[ci][1])])
+            for k in keys:
+                huff_specs[k] = optimal_huffman(freqs[k])
+                encoders[k] = _huff_encode_table(*huff_specs[k])
+                counts, values = huff_specs[k]
+                marker(C.MARKER_DHT, bytes([(k[0] << 4) | k[1]])
+                       + bytes(counts) + bytes(values))
         encode_scan(comp_indices)
     marker(C.MARKER_EOI)
     return bytes(out)

@@ -72,9 +72,19 @@ class ScanConfig:
     # typical fill <= ~35% of the 128-row window so low-entropy spans
     # rarely overflow it (see build_plan for the tradeoff data)
     super_g: int = 4
-    # expand window in supertiles per 128-data-unit output group (2x the
-    # average group extent plus slack; build_plan)
+    # expand window in supertiles per output group (2x the average group
+    # extent plus slack; build_plan)
     super_w: int = 8
+    # data-unit rows per supertile window (ops/write_pallas.py): smaller
+    # windows cut the stage-1 one-hot build (the stage's bound) linearly,
+    # at the price of more span-overflow leftovers; build_plan pairs it
+    # with super_g to keep typical fill <= ~35%
+    super_d: int = 128
+    # data units per expand-kernel output group (ops/write_pallas.py):
+    # larger groups amortize the per-grid-step cost (window refetch, dot
+    # issue) over more output rows at the price of a wider one-hot build
+    # per row; build_plan picks it with super_w (Tuning.group_du overrides)
+    group_du: int = 128
     # which stage-1 shape tile_mode="auto" resolves to for this scan
     # ("super" | "lane"): build_plan picks "lane" for sparse scans whose
     # minimum supertile-group span would overflow the 128-row window and
@@ -218,27 +228,40 @@ def gather_ctx(ctx: _Ctx, idx: jax.Array, valid: jax.Array) -> _Ctx:
 
 
 def _resolve_ctx_gather(cfg: ScanConfig) -> str:
-    """Tuning.ctx_gather; "auto" selects the one-hot MXU dot gather on
-    non-CPU backends (XLA:TPU column gathers cost ~8 ns per element, so
-    compacting a 4096-column frontier round's 40-row context was the
-    dominant cost of the round) and the plain take on CPU.
+    """Tuning.ctx_gather; "auto" selects the packed row gather on non-CPU
+    backends and the plain take on CPU.
 
-    The dot gather materializes a (lanes, K) int8 one-hot in HBM per
-    round; at merged-batch widths that dwarfs what it saves (profiled
-    2026-08-20: 38 ms/round at lanes=196608, K=16384 vs ~0.5 ms at
-    single-image 24576 x 4096), so auto falls back to take past the
-    single-image lane buckets."""
+    Three formulations, in the order they were built:
+    - "take": per-row XLA column gathers of the (34, lanes) window — ~8 ns
+      per ELEMENT on XLA:TPU, the dominant cost of a compacted round.
+    - "dot": one int8 one-hot MXU contraction — but it materializes a
+      (lanes, K) one-hot in HBM per round; at merged-batch widths that
+      dwarfs what it saves (profiled 2026-08-20: 38 ms/round at
+      lanes=196608, K=16384 vs ~0.5 ms at 24576 x 4096).
+    - "rows": repack the whole per-lane context as ONE contiguous
+      (lanes, 40) int32 row matrix (32 own words + 6 scalars + the two
+      neighbor words) built once per decode, so a compacted round is a
+      single embedding-style row take along the major axis — contiguous
+      128-byte-plus slices, the gather shape XLA:TPU is actually good at
+      — plus one small (K, 40) transpose. Scales to any width.
+    """
     mode = cfg.tuning.ctx_gather
     if mode != "auto":
         return mode
-    if jax.default_backend() == "cpu" or cfg.lanes > 49152:
-        return "take"
-    return "dot"
+    return "take" if jax.default_backend() == "cpu" else "rows"
 
 
-def make_ctx_gatherer(cfg: ScanConfig, ctx: _Ctx):
+def make_ctx_gatherer(cfg: ScanConfig, ctx: _Ctx, arrs: ScanArrays = None):
     """Returns ``gather(idx, valid) -> _Ctx`` compacting the per-lane
     context to the given lane subset.
+
+    The "rows" mode (production default; see _resolve_ctx_gather) packs
+    each lane's whole context as one contiguous row of a (lanes, 40)
+    int32 matrix — its 32 subsequence words, the two neighbor words the
+    34-word window carries, and the six per-lane scalars — built ONCE per
+    decode, so compacting a round is a single row ``take`` along the
+    major axis (the embedding-lookup shape XLA:TPU gathers efficiently)
+    plus one small (K, 40) transpose.
 
     The "dot" mode stacks the 34-word window and the six per-lane scalar
     rows into one (40, lanes) int32 matrix, splits it into four signed
@@ -249,7 +272,52 @@ def make_ctx_gatherer(cfg: ScanConfig, ctx: _Ctx):
     inverts the per-plane ``-128`` bias (two's-complement wraparound is
     part of the identity).
     """
-    if _resolve_ctx_gather(cfg) != "dot":
+    mode = _resolve_ctx_gather(cfg)
+    if mode == "rows" and arrs is None:
+        mode = "take"  # no flat word array in reach (shouldn't happen)
+    if mode == "rows":
+        lanes = cfg.lanes
+        words2d = jax.lax.bitcast_convert_type(
+            arrs.words.reshape(lanes, C.CHUNK_SIZE_WORDS), jnp.int32)
+        # neighbor words come from ctx.window rows 0/33, NOT a re-roll of
+        # words2d: subsequence-sharded decode patches lane 0's window row
+        # 0 with the previous shard's straddle word (parallel/segments.py)
+        # and the rebuild must preserve that
+        nbr = jax.lax.bitcast_convert_type(
+            ctx.window[jnp.array([0, 33])], jnp.int32).T  # (lanes, 2)
+        gmat = jnp.concatenate([
+            words2d,                                          # 0..31
+            ctx.word_end[:, None],                            # 32
+            ctx.seg_base_bits[:, None],                       # 33
+            ctx.end_subseq[:, None],                          # 34
+            ctx.rel[:, None],                                 # 35
+            ctx.lane_word0[:, None],                          # 36
+            ctx.first_of_seg.astype(jnp.int32)[:, None],      # 37
+            nbr,                                              # 38, 39
+        ], axis=1)
+
+        def gather_rows(idx, valid):
+            g = jnp.take(gmat, idx, axis=0).T  # (40, K)
+            window = jnp.concatenate(
+                [g[38:39], g[0:32], g[39:40]], axis=0)
+            return _Ctx(
+                window=jax.lax.bitcast_convert_type(window,
+                                                    ctx.window.dtype),
+                hv_packed=ctx.hv_packed,
+                word_end=g[32],
+                seg_base_bits=g[33],
+                end_subseq=g[34],
+                rel=g[35],
+                lane_valid=valid,
+                first_of_seg=g[37] != 0,
+                lane_word0=g[36],
+                limits=ctx.limits,
+                dvsm=ctx.dvsm,
+                vsm0=ctx.vsm0,
+            )
+
+        return gather_rows
+    if mode != "dot":
         return functools.partial(gather_ctx, ctx)
     lanes = cfg.lanes
     win32 = jax.lax.bitcast_convert_type(ctx.window, jnp.int32)
@@ -954,7 +1022,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             return p, c, z, n, it0, it0
         return p, c, z, n
 
-    gather_fn = make_ctx_gatherer(cfg, ctx)
+    gather_fn = make_ctx_gatherer(cfg, ctx, arrs)
 
     def compact_round(p, c, z, n, head, width, follow):
         """One chain-follow round over up to `width` local chain heads,
@@ -1055,6 +1123,15 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
         # the narrow tier; dead `lanes` sentinels sort to the tail
         head = jnp.sort(head)[:Kc]
 
+    # Tier 3 geometry (resolved here so tier 2's exit condition knows it):
+    # once fewer than Kt chains survive, rounds shrink to the narrowest
+    # width — the last chains of the decay (the 12 MP bench spends ~6
+    # narrow rounds fixing <10 lanes each) drain at minimal per-round cost.
+    Kt = cfg.tuning.tail_width or 64
+    Ft = min(cfg.tuning.tail_follow or 4, max(Kt, 1))
+    has_tail = Kt < Kc
+    live_floor = Kt if has_tail else 0
+
     # Tier 2 (narrow): chain-follow rounds at head capacity Kc, depth F.
     def body(state):
         p, c, z, n, head, it = state
@@ -1063,10 +1140,26 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
 
     def cond2(state):
         p, c, z, n, head, it = state
-        return jnp.any(head < lanes) & (it < lanes)
+        live = jnp.sum((head < lanes).astype(jnp.int32))
+        return (live > live_floor) & (it < lanes)
 
     state = (p, c, z, n, head, it0)
-    p, c, z, n, _, it = jax.lax.while_loop(cond2, body, state)
+    p, c, z, n, head, it = jax.lax.while_loop(cond2, body, state)
+
+    if has_tail:
+        head = jnp.sort(head)[:Kt]
+
+        def body_t(state):
+            p, c, z, n, head, it = state
+            p, c, z, n, head = compact_round(p, c, z, n, head, Kt, Ft)
+            return p, c, z, n, head, it + 1
+
+        def cond_t(state):
+            p, c, z, n, head, it = state
+            return jnp.any(head < lanes) & (it < lanes)
+
+        p, c, z, n, _, it = jax.lax.while_loop(
+            cond_t, body_t, (p, c, z, n, head, it))
     if diag:
         # (full + wide-tier rounds after round 1, total rounds)
         return p, c, z, n, it0, it
@@ -1278,18 +1371,41 @@ def _emit_cap(chunk: int) -> int:
     return -(-cap // chunk) * chunk
 
 
+_REC_INERT = 0xFFFF  # packed record of an inert slot: value 0, local pos -1
+
+
+def pack_record(val, wl):
+    """Pack one emitted symbol as ``(val << 16) | (local_pos & 0xFFFF)``.
+
+    Both halves are int16-exact: |val| <= 32767 (<= 15 magnitude bits) and
+    the lane-local position wl = wp - pos0 is bounded by s_cap commits of
+    <= 16 positions each (< 2^15); inert slots carry wl = -1."""
+    return (val << 16) | (wl & 0xFFFF)
+
+
+def unpack_record(rec):
+    """Packed records -> (val, local_pos), both int32 (arithmetic shifts
+    sign-extend each half)."""
+    return rec >> 16, (rec << 16) >> 16
+
+
 def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
                       n_off, pos_base=None, bound=None,
                       total_out: int | None = None, entry=None):
     """Writing decode, dense-emission form.
 
-    Returns ``(val, wpos, m)``: ``val[s, l]``/``wpos[s, l]`` are the value and
-    global output position of the symbol committed at lane ``l``'s slot ``s``
-    (val 0 for non-writing symbols or positions clamped by the segment bound;
-    wpos -1 on inert slots — slots past the lane's last commit, and the rare
-    in-between holes left by rolling-buffer stalls), and ``m[l]`` one past
-    the lane's last committed slot. Consumers must treat a slot as real only
-    if ``s < m & wpos >= 0``; committed slots remain in stream order.
+    Returns ``(rec, m)``: ``rec[s, l]`` packs the value and LANE-LOCAL
+    output position of the symbol committed at lane ``l``'s slot ``s`` as
+    ``(val << 16) | ((wp - pos0[l]) & 0xFFFF)`` (see :func:`pack_record`;
+    val 0 for non-writing symbols or positions clamped by the segment
+    bound; local position -1 on inert slots — slots past the lane's last
+    commit, and the rare in-between holes left by rolling-buffer stalls),
+    and ``m[l]`` one past the lane's last committed slot. ``pos0[l]`` is
+    the lane's first output position (``seg_pos_base + n_off``), which
+    callers recompute from the same inputs. Consumers must treat a slot as
+    real only if ``s < m & local_pos >= 0``; committed slots remain in
+    stream order. Packing halves the emission buffer's HBM footprint —
+    the dominant write-path traffic at merged-lane batch widths.
     """
     lanes = cfg.lanes
     chunk = cfg.tuning.write_chunk
@@ -1310,20 +1426,18 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
     if _resolve_entropy_backend(cfg) == "pallas":
         from . import huffman_pallas
 
-        val32, wpos, m = huffman_pallas.emit_pass(
+        return huffman_pallas.emit_pass(
             cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, ctx.lane_valid,
             s_cap)
-        return val32.astype(jnp.int16), wpos, m
 
-    val = jnp.zeros((s_cap, lanes), jnp.int16)
-    wpos = jnp.full((s_cap, lanes), -1, jnp.int32)
+    rec = jnp.full((s_cap, lanes), _REC_INERT, jnp.int32)
     m0 = jnp.zeros(lanes, jnp.int32)
 
     def round_body(state):
-        p, c, z, pos, active, m, val, wpos, k = state
+        p, c, z, pos, active, m, rec, k = state
 
         def inner(k2, istate):
-            p, c, z, pos, active, m, vbuf, wbuf = istate
+            p, c, z, pos, active, m, rbuf = istate
             buf, base = _refill_buf(cfg, ctx, p)
             for u in range(unroll):
                 data, stall = _load32_buf(ctx, p, buf, base)
@@ -1335,11 +1449,11 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
                 # stalled lanes stay active and retry after the next refill
                 active = active & ~(ok & ~fits) & (pos < bound_full)
                 wp = pos + run
-                emit_val = jnp.where(commit & (wp < bound_full), sym,
-                                     0).astype(jnp.int16)
+                emit_val = jnp.where(commit & (wp < bound_full), sym, 0)
                 slot = k2 * unroll + u
-                vbuf = vbuf.at[slot].set(emit_val)
-                wbuf = wbuf.at[slot].set(jnp.where(commit, wp, -1))
+                rbuf = rbuf.at[slot].set(jnp.where(
+                    commit, pack_record(emit_val, wp - pos0),
+                    _REC_INERT))
                 p = jnp.where(commit, p + length, p)
                 z_new = z + run + 1
                 wrap = z_new >= 64
@@ -1349,25 +1463,22 @@ def decode_write_emit(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx, p, c, z,
                 c = jnp.where(commit, c_new, c)
                 pos = jnp.where(commit, wp + 1, pos)
                 m = jnp.where(commit, k * chunk + slot + 1, m)
-            return p, c, z, pos, active, m, vbuf, wbuf
+            return p, c, z, pos, active, m, rbuf
 
-        vbuf = jnp.zeros((chunk, lanes), jnp.int16)
-        wbuf = jnp.full((chunk, lanes), -1, jnp.int32)
-        p, c, z, pos, active, m, vbuf, wbuf = jax.lax.fori_loop(
-            0, chunk // unroll, inner, (p, c, z, pos, active, m, vbuf, wbuf))
-        val = jax.lax.dynamic_update_slice(val, vbuf, (k * chunk, 0))
-        wpos = jax.lax.dynamic_update_slice(wpos, wbuf, (k * chunk, 0))
-        return p, c, z, pos, active, m, val, wpos, k + 1
+        rbuf = jnp.full((chunk, lanes), _REC_INERT, jnp.int32)
+        p, c, z, pos, active, m, rbuf = jax.lax.fori_loop(
+            0, chunk // unroll, inner, (p, c, z, pos, active, m, rbuf))
+        rec = jax.lax.dynamic_update_slice(rec, rbuf, (k * chunk, 0))
+        return p, c, z, pos, active, m, rec, k + 1
 
     def cond(state):
-        p, c, z, pos, active, m, _, _, k = state
+        p, c, z, pos, active, m, _, k = state
         return jnp.any(active & (pos < bound_full)) & (k < s_cap // chunk)
 
     active0 = ctx.lane_valid & (pos0 < bound_full) & (sp < ctx.end_subseq)
-    state = (sp, sc, sz, pos0, active0, m0, val, wpos, jnp.int32(0))
-    _, _, _, _, _, m, val, wpos, _ = jax.lax.while_loop(cond, round_body,
-                                                        state)
-    return val, wpos, m
+    state = (sp, sc, sz, pos0, active0, m0, rec, jnp.int32(0))
+    _, _, _, _, _, m, rec, _ = jax.lax.while_loop(cond, round_body, state)
+    return rec, m
 
 
 def assemble_coefficients(val: jax.Array, wpos: jax.Array, m: jax.Array,
@@ -1492,10 +1603,16 @@ def decode_scan_from_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                 bound=bound, total_out=total_out, entry=entry)
         elif mode == "matmul":
             total = cfg.total_positions if total_out is None else total_out
-            val, wpos, m = decode_write_emit(
+            rec, m = decode_write_emit(
                 cfg, arrs, ctx, p, c, z, n_off, pos_base=pos_base,
                 bound=bound, total_out=total_out, entry=entry)
-            coeffs = assemble_coefficients(val, wpos, m, total)
+            seg_pos_base = (arrs.seg_of_subseq * cfg.positions_per_seg
+                            if pos_base is None else pos_base)
+            v32, wl = unpack_record(rec)
+            wpos = jnp.where(wl >= 0, wl + (seg_pos_base + n_off)[None, :],
+                             -1)
+            coeffs = assemble_coefficients(v32.astype(jnp.int16), wpos, m,
+                                           total)
         else:
             coeffs = decode_write(cfg, arrs, ctx, p, c, z, n_off,
                                   pos_base=pos_base, bound=bound,

@@ -231,7 +231,7 @@ _EMIT_BLOCK = 512
 def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
                  lw_ref, hv_ref, lim_ref, dvsm_ref, vsm0_ref, mc_ref,
                  vsm_ref, p0_ref, c0_ref, z0_ref, pos0_ref, bound_ref,
-                 a0_ref, val_out, wpos_out, m_out, st_ref):
+                 a0_ref, rec_out, m_out, st_ref):
     from . import huffman as H
 
     rd = (lambda r: r[...]) if two_d else (lambda r: r[0])
@@ -240,13 +240,14 @@ def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
                        dvsm_ref[:], vsm0_ref[0])
     arrs = SimpleNamespace(maxcode=mc_ref[:], vsm=vsm_ref[:])
     bound = rd(bound_ref)
+    pos_start = rd(pos0_ref)  # lane-local record positions rebase here
     unroll = H._resolve_unroll(cfg)
     active0 = ((rd(a0_ref) != 0) & (rd(p0_ref) < ctx.end_subseq)
-               & (rd(pos0_ref) < bound))
+               & (pos_start < bound))
     st_ref[0] = rd(p0_ref)
     st_ref[1] = rd(c0_ref)
     st_ref[2] = rd(z0_ref)
-    st_ref[3] = rd(pos0_ref)
+    st_ref[3] = pos_start
     st_ref[4] = active0.astype(jnp.int32)
     st_ref[5] = jnp.zeros_like(rd(p0_ref))  # m: one past last written slot
 
@@ -259,7 +260,7 @@ def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
         active = st_ref[4] != 0
         m = st_ref[5]
         buf, base = H._refill_buf(cfg, ctx, p)
-        rows_v, rows_w = [], []
+        rows_r = []
         for u in range(unroll):
             data, stall = H._load32_buf(ctx, p, buf, base)
             length, sym, run = H._decode_symbol(cfg, arrs, ctx, data, c, z)
@@ -268,8 +269,9 @@ def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
             commit = ok & fits
             active = active & ~(ok & ~fits) & (pos < bound)
             wp = pos + run
-            rows_v.append(jnp.where(commit & (wp < bound), sym, 0))
-            rows_w.append(jnp.where(commit, wp, -1))
+            v = jnp.where(commit & (wp < bound), sym, 0)
+            rows_r.append(jnp.where(
+                commit, H.pack_record(v, wp - pos_start), H._REC_INERT))
             p = jnp.where(commit, p + length, p)
             z_new = z + run + 1
             wrap = z_new >= 64
@@ -281,8 +283,7 @@ def _emit_kernel(cfg, s_cap, two_d, window_ref, we_ref, sb_ref, es_ref,
             m = jnp.where(commit, k * unroll + u + 1, m)
         # slots never reached stay uninitialized: every consumer gates on
         # slot < m (per lane), which only covers written rows
-        val_out[pl.ds(k * unroll, unroll)] = jnp.stack(rows_v)
-        wpos_out[pl.ds(k * unroll, unroll)] = jnp.stack(rows_w)
+        rec_out[pl.ds(k * unroll, unroll)] = jnp.stack(rows_r)
         st_ref[0] = p
         st_ref[1] = c
         st_ref[2] = z
@@ -304,11 +305,13 @@ def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
     """Pallas drop-in for the loop of ops.huffman.decode_write_emit.
 
     Decodes each lane's subsequence from its synced start state entirely in
-    VMEM, emitting (value, position) densely at (slot, lane). Returns
-    (val int32[s_cap, lanes], wpos int32[s_cap, lanes], m int32[lanes]) —
-    the caller casts val to int16. Lane axis folded (8, w/8) in-kernel when
-    eligible (see subseq_pass); the emission buffers come back with the
-    fold undone by a free reshape.
+    VMEM, emitting each committed symbol as ONE packed int32 record
+    ``(val << 16) | (local_pos & 0xFFFF)`` at (slot, lane) — half the HBM
+    write traffic of separate value/position buffers (see
+    ops.huffman.pack_record). Returns (rec int32[s_cap, lanes],
+    m int32[lanes]). Lane axis folded (8, w/8) in-kernel when eligible
+    (see subseq_pass); the emission buffer comes back with the fold undone
+    by a free reshape.
     """
     width = pos0.shape[0]
     two_d = _use_2d(cfg) and width % 8 == 0
@@ -365,26 +368,24 @@ def emit_pass(cfg, arrs, ctx, sp, sc, sz, pos0, bound_full, active0, s_cap):
     ]
     out_shape = [
         jax.ShapeDtypeStruct(emit_sh, jnp.int32),
-        jax.ShapeDtypeStruct(emit_sh, jnp.int32),
         jax.ShapeDtypeStruct(m_sh, jnp.int32),
     ]
-    out_specs = [emit_spec, emit_spec, lane_spec]
-    val, wpos, m = pl.pallas_call(
+    out_specs = [emit_spec, lane_spec]
+    rec, m = pl.pallas_call(
         functools.partial(_emit_kernel, cfg, s_cap, two_d),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[scratch],
-        # two (s_cap, block) emission buffers live in VMEM per block
+        # the (s_cap, block) emission buffer lives in VMEM per block
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
     if two_d:
-        return (val.reshape(s_cap, width), wpos.reshape(s_cap, width),
-                m.reshape(width))
-    return val, wpos, m[0]
+        return rec.reshape(s_cap, width), m.reshape(width)
+    return rec, m[0]
 
 
 def _write_kernel(cfg, window_ref, we_ref, sb_ref, es_ref, lw_ref, hv_ref,

@@ -252,10 +252,10 @@ def tiles_from_records(val, wpos, m, du0, include, tile_d: int = _TILE_D,
 # for the per-lane path; f32 Precision.HIGHEST is exact too but 7.47 ms.
 
 
-def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, invz_ref,
-                       out_ref, acc_ref):
-    K = G * _ROUND_R
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (_SUPER_D, 1), 0)
+def _supertiles_kernel(s_cap, G, dot, planes, round_r, super_d, val_ref,
+                       pk_ref, m_ref, invz_ref, out_ref, acc_ref):
+    K = G * round_r
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (super_d, 1), 0)
     # natural-order fold: row j of the tile holds the coefficient whose
     # zig-zag index is invz[j] (= the zig-zag index stored at natural
     # position j), so the zig-zag -> natural reorder that used to be a
@@ -274,6 +274,11 @@ def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, invz_ref,
             zz = jnp.where(p >= 0, p & 63, -1)
             bz = zz == iota_z
             dnn = (((1,), (1,)), ((), ()))
+            # two half-width dots per round, NOT one fused (128, K) x
+            # (128, K) -> (128, 128) contraction: the fused form was
+            # measured 2.4x slower on v5e (2026-08-20 r5 decomposition —
+            # stage1 4.6 ms vs 1.9; the concat + wider accumulator lose
+            # more than the second dot issue costs)
             if dot == "int8":
                 # int8 byte planes: exact like bf16 (one record per cell);
                 # lo arrives signed-wrapped and is unwrapped after the dot
@@ -298,78 +303,108 @@ def _supertiles_kernel(s_cap, G, dot, val_ref, pk_ref, m_ref, invz_ref,
                 acc_ref[:] += th * 256.0 + tl
             return r + 1
 
-        jax.lax.while_loop(lambda r: r * _ROUND_R < mmax, round_body,
+        jax.lax.while_loop(lambda r: r * round_r < mmax, round_body,
                            jnp.int32(0))
-        out_ref[st] = acc_ref[:].astype(jnp.int16)
+        t16 = acc_ref[:].astype(jnp.int16)
+        if planes:
+            # expand-ready signed-int8 split (see _expand_super_kernel):
+            # columns [0,64) hi = t >> 8, [64,128) b0 = (t & 255) - 128
+            t32 = t16.astype(jnp.int32)
+            p_hi = (t32 >> 8).astype(jnp.int8)
+            p_b0 = ((t32 & 255) - 128).astype(jnp.int8)
+            out_ref[st] = jnp.concatenate([p_hi, p_b0], axis=1)
+        else:
+            out_ref[st] = t16
 
 
 def supertiles_from_records(val_rows, pk_rows, mmax_st, G: int,
-                            dot: str = "bf16"):
+                            dot: str = "bf16", planes: bool = False,
+                            round_r: int = _ROUND_R,
+                            super_d: int = _SUPER_D):
     """Interleaved records -> (n_st, _SUPER_D, 64) *natural-order* supertiles.
 
     ``val_rows``/``pk_rows`` are int16[n_st, s_cap*G] with column s*G + g;
     ``pk`` packs (d_rel << 6) | iz, -1 on inert slots. ``mmax_st`` is
     int32[n_st, 1], the max slot count over the group's included lanes.
+
+    With ``planes`` the output is int8[n_st, _SUPER_D, 128]: the signed
+    hi/b0 byte-plane split the int8 expand kernel consumes directly —
+    built once here instead of per expand grid step.
     """
     n_st, sg = val_rows.shape
     s_cap = sg // G
+    assert s_cap % round_r == 0, (s_cap, round_r)
     assert n_st % _SUPER_SB == 0
     invz = jnp.asarray(
         np.argsort(np.asarray(C.ORDER_NATURAL)).astype(np.int32).reshape(
             64, 1))
     rec_spec = pl.BlockSpec((_SUPER_SB, sg), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
+    out_cols = 128 if planes else 64
+    out_dt = jnp.int8 if planes else jnp.int16
     return pl.pallas_call(
-        functools.partial(_supertiles_kernel, s_cap, G, dot),
+        functools.partial(_supertiles_kernel, s_cap, G, dot, planes,
+                          round_r, super_d),
         grid=(n_st // _SUPER_SB,),
         in_specs=[rec_spec, rec_spec,
                   pl.BlockSpec((_SUPER_SB, 1), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((64, 1), lambda b: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_SUPER_SB, _SUPER_D, 64),
+        out_specs=pl.BlockSpec((_SUPER_SB, super_d, out_cols),
                                lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_st, _SUPER_D, 64), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((_SUPER_D, 64), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_st, super_d, out_cols), out_dt),
+        scratch_shapes=[pltpu.VMEM((super_d, 64), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(val_rows, pk_rows, mmax_st, invz)
 
 
-def _expand_super_kernel(W, dot, q_ref, *refs):
+def tiles_to_planes(stiles):
+    """int16 supertiles -> the signed hi/b0 byte-plane form the int8
+    expand kernel consumes (int8[n_st, _SUPER_D, 128]; columns [0,64) hi =
+    t >> 8, [64,128) b0 = (t & 255) - 128). Stage 1 emits this form
+    directly (``planes=True``); this helper exists for tests and callers
+    holding plain tiles."""
+    t32 = jnp.asarray(stiles).astype(jnp.int32)
+    return jnp.concatenate([(t32 >> 8).astype(jnp.int8),
+                            ((t32 & 255) - 128).astype(jnp.int8)], axis=2)
+
+
+def _expand_super_kernel(W, dot, group_du, q_ref, *refs):
     cand_refs = refs[:W]
     tile_refs = refs[W:2 * W]
     out_ref = refs[2 * W]
     dc_ref = refs[2 * W + 1]
     g = pl.program_id(0)
-    j = g * _GROUP_DU + jax.lax.broadcasted_iota(
-        jnp.int32, (_GROUP_DU, 1), 0)
-    # ONE concatenated dot per plane instead of W small dots: Mosaic issues
-    # each dot as its own MXU op sequence, so W separate (128, 128) x
-    # (128, 64) dots pay W pipeline fills per grid step where the fused
-    # (128, W*128) x (W*128, 64) contraction pays one (same flops).
+    j = g * group_du + jax.lax.broadcasted_iota(
+        jnp.int32, (group_du, 1), 0)
+    # ONE concatenated dot instead of W small dots: Mosaic issues each dot
+    # as its own MXU op sequence, so W separate dots pay W pipeline fills
+    # per grid step where the fused (group_du, W*128) x (W*128, cols)
+    # contraction pays one (same flops).
     cand = jnp.concatenate([r[:] for r in cand_refs], axis=1)
-    hit = cand == j  # (_GROUP_DU, W*_SUPER_D)
-    tiles = jnp.concatenate([r[:] for r in tile_refs], axis=0)
+    hit = cand == j  # (group_du, W*_SUPER_D)
     if dot == "int8":
         # 2-plane signed-int8 split, exact under MULTI-record sums (unlike
-        # the lo/hi byte planes of stage 1, which rely on one record per
-        # cell): t = 256*hi + (b0 + 128) with hi = t >> 8 (arithmetic) and
-        # b0 = (t & 255) - 128, both in [-128, 127]. Summing k records
-        # gives sum(t) = 256*dot_hi + dot_b0 + 128*k, and k per output ROW
-        # is the row-sum of the one-hot (every selected tile row feeds all
-        # 64 columns), a cheap VPU reduce. int8 x int8 -> int32 dots are
-        # single-pass MXU ops; f32 dots in this shape run multi-pass.
+        # the lo/hi byte planes of stage 1's RECORD dots, which rely on one
+        # record per cell): t = 256*hi + (b0 + 128) with hi = t >> 8
+        # (arithmetic) and b0 = (t & 255) - 128, both in [-128, 127].
+        # Summing k records gives sum(t) = 256*dot_hi + dot_b0 + 128*k,
+        # and k per output ROW is the row-sum of the one-hot (every
+        # selected tile row feeds all 64 columns), a cheap VPU reduce.
+        # The planes arrive pre-split from stage 1 as one (128, 128) int8
+        # block per supertile (columns [0,64) hi, [64,128) b0), so the
+        # whole gather-sum is ONE full-MXU-width int8 dot — no per-step
+        # int16 -> int8 conversion and no second half-width dot.
         sel = hit.astype(jnp.int8)
-        t32 = tiles.astype(jnp.int32)
-        hi = (t32 >> 8).astype(jnp.int8)
-        b0 = ((t32 & 255) - 128).astype(jnp.int8)
-        dhi = jax.lax.dot(sel, hi, preferred_element_type=jnp.int32)
-        db0 = jax.lax.dot(sel, b0, preferred_element_type=jnp.int32)
+        planes = jnp.concatenate([r[:] for r in tile_refs], axis=0)
+        d2 = jax.lax.dot(sel, planes, preferred_element_type=jnp.int32)
         cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
-        acc16 = ((dhi << 8) + db0 + (cnt << 7)).astype(jnp.int16)
+        acc16 = ((d2[:, :64] << 8) + d2[:, 64:] + (cnt << 7)).astype(
+            jnp.int16)
         out_ref[:] = acc16
         # DC side output: the first _DC_COLS natural-order columns (column
         # 0 is the DC slot). Consumers read only column 0; the narrow
@@ -378,6 +413,7 @@ def _expand_super_kernel(W, dot, q_ref, *refs):
         dc_ref[:] = acc16[:, :_DC_COLS]
         return
     sel = jnp.where(hit, 1.0, 0.0)
+    tiles = jnp.concatenate([r[:] for r in tile_refs], axis=0)
     acc = jax.lax.dot(sel, tiles.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
     acc16 = acc.astype(jnp.int16)
@@ -386,31 +422,34 @@ def _expand_super_kernel(W, dot, q_ref, *refs):
 
 
 def expand_supertiles(stiles, base, q, n_groups: int, W: int,
-                      dot: str = "f32"):
-    """Supertiles -> dense (n_groups * _GROUP_DU, 64) natural-order rows.
+                      dot: str = "f32", group_du: int = _GROUP_DU):
+    """Supertiles -> dense (n_groups * group_du, 64) natural-order rows.
 
-    Output group ``g`` (128 data units) gathers the rows of supertiles
-    ``q[g] .. q[g]+W-1`` whose data unit ``base[st] + d`` falls in the
-    group; rows shared by two lanes in different supertiles sum here.
-    Supertiles arrive already natural-order within each data unit
+    Output group ``g`` (``group_du`` data units) gathers the rows of
+    supertiles ``q[g] .. q[g]+W-1`` whose data unit ``base[st] + d`` falls
+    in the group; rows shared by two lanes in different supertiles sum
+    here. Supertiles arrive already natural-order within each data unit
     (stage 1 folds the zig-zag permutation into its one-hot compare).
+    In int8 mode ``stiles`` is the stage-1 byte-plane output
+    (int8[n_st, 128, 128]); in f32 mode the int16 tiles.
 
     Returns ``(rows, dc_cols)``: the dense rows plus a narrow
-    (n_groups * _GROUP_DU, _DC_COLS) side output whose column 0 is each
+    (n_groups * group_du, _DC_COLS) side output whose column 0 is each
     data unit's (still difference-coded) DC coefficient — the DC stage
     reads this instead of striding over the full coefficient stream."""
-    n_st = stiles.shape[0]
-    stiles2d = stiles.reshape(n_st * _SUPER_D, 64)
+    n_st, super_d, t_cols = stiles.shape
+    stiles2d = stiles.reshape(n_st * super_d, t_cols)
     cand2d = (base[:, None]
-              + jnp.arange(_SUPER_D, dtype=jnp.int32)[None, :]).reshape(
-                  1, n_st * _SUPER_D)
+              + jnp.arange(super_d, dtype=jnp.int32)[None, :]).reshape(
+                  1, n_st * super_d)
 
     def cand_spec(k):
-        return pl.BlockSpec((1, _SUPER_D), lambda g, q, k=k: (0, q[g] + k),
+        return pl.BlockSpec((1, super_d), lambda g, q, k=k: (0, q[g] + k),
                             memory_space=pltpu.VMEM)
 
     def tile_spec(k):
-        return pl.BlockSpec((_SUPER_D, 64), lambda g, q, k=k: (q[g] + k, 0),
+        return pl.BlockSpec((super_d, t_cols),
+                            lambda g, q, k=k: (q[g] + k, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -418,18 +457,18 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
         grid=(n_groups,),
         in_specs=[cand_spec(k) for k in range(W)]
         + [tile_spec(k) for k in range(W)],
-        out_specs=[pl.BlockSpec((_GROUP_DU, 64), lambda g, q: (g, 0),
+        out_specs=[pl.BlockSpec((group_du, 64), lambda g, q: (g, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_GROUP_DU, _DC_COLS),
+                   pl.BlockSpec((group_du, _DC_COLS),
                                 lambda g, q: (g, 0),
                                 memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
-        functools.partial(_expand_super_kernel, W, dot),
+        functools.partial(_expand_super_kernel, W, dot, group_du),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_groups * _GROUP_DU, 64),
+        out_shape=[jax.ShapeDtypeStruct((n_groups * group_du, 64),
                                         jnp.int16),
-                   jax.ShapeDtypeStruct((n_groups * _GROUP_DU, _DC_COLS),
+                   jax.ShapeDtypeStruct((n_groups * group_du, _DC_COLS),
                                         jnp.int16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -437,27 +476,30 @@ def expand_supertiles(stiles, base, q, n_groups: int, W: int,
     )(q, *([cand2d] * W), *([stiles2d] * W))
 
 
-def _super_slab(base, max_du, include, G: int, n_groups: int, W: int):
+def _super_slab(base, max_du, include, G: int, n_groups: int, W: int,
+                group_du: int = _GROUP_DU):
     """q[g]: first supertile of output group g's W-wide gather window,
     anchored at the first supertile whose included lanes reach the group
     (mirrors _slab_index at supertile granularity)."""
     n_st = base.shape[0]
     reach = jnp.where(include, max_du, -1)
     reach_st = jax.lax.cummax(jnp.max(reach.reshape(n_st, G), axis=1))
-    thresholds = jnp.arange(n_groups, dtype=jnp.int32) * _GROUP_DU
+    thresholds = jnp.arange(n_groups, dtype=jnp.int32) * group_du
     q = jnp.searchsorted(reach_st, thresholds, side="left").astype(jnp.int32)
     return jnp.clip(q, 0, max(n_st - W, 0))
 
 
 def resolve_expand_dot(mode: str) -> str:
     """Tuning.expand_dot -> expand-kernel dot dtype. "auto" selects the
-    2-plane signed-int8 split (exact for any per-cell record count, see
-    _expand_super_kernel; single-pass MXU). "f32" keeps the plain f32
-    dot — exact too (standard-form 2D dots lower to the multi-pass
-    HIGHEST-precision path) but ~4x the MXU passes. "bf16" (the retired
-    byte-plane pair, measured slower than f32 on v5e 2026-08-20) maps to
-    int8."""
-    return "f32" if mode == "f32" else "int8"
+    plain f32 dot: exact (standard-form 2D dots lower to the multi-pass
+    HIGHEST-precision path), and measured fastest at group_du=256 on v5e
+    (2026-08-20 r5: 6.10 ms assembly vs 6.50 for the signed-int8
+    2-plane split — f32 needs no per-row one-hot count reduce and no
+    stage-1 plane conversion; at the old group_du=128 int8 had won,
+    5.89 vs 6.93 bf16). "int8" keeps the 2-plane split (exact for any
+    per-cell record count, see _expand_super_kernel; single-pass MXU).
+    "bf16" (the retired byte-plane pair) maps to int8."""
+    return "int8" if mode in ("int8", "bf16") else "f32"
 
 
 def resolve_super_dot(mode: str) -> str:
@@ -471,22 +513,33 @@ def resolve_super_dot(mode: str) -> str:
     return "bf16" if mode in ("bf16", "f32") else "int8"
 
 
-def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
+def assemble_supertiles(rec, m, du0_raw, pos0, total: int, G: int, W: int,
                         s_trim: int = 512, dot: str = "bf16",
                         expand_dot: str = "auto", return_dc: bool = False,
-                        pos_offset: int = 0):
+                        pos_offset: int = 0, group_du: int = _GROUP_DU,
+                        super_d: int = _SUPER_D,
+                        _upto: str | None = None):
     """Supertile record assembly: stage1 + expand + leftover + reorder.
 
-    Same contract as :func:`assemble_tiles`: int16[total] stream-order
-    coefficients, natural order within each data unit. With
-    ``return_dc`` also returns an int16[>= total//64] vector of
-    per-data-unit difference-coded DC values (the expand kernel's narrow
-    side output, leftover-corrected) for the DC stage.
+    ``_upto`` ("prep" | "stage1") truncates the computation for the
+    stage-timing probes (scripts/stagebench.py --slope2) — not part of
+    the public contract.
 
-    ``pos_offset`` (a multiple of 64) rebases globally-emitted record
-    positions to this call's [0, total) range — merged-lane batches slice
-    their emit buffers per image and assemble each image at single-image
-    shapes (parallel/batch.py), passing the image's position base here;
+    ``rec`` is the packed emission (ops/huffman.pack_record: value and
+    LANE-LOCAL position in one int32) and ``pos0`` each lane's first
+    global output position; unpacking happens after the static slot trim,
+    so the full-depth buffer is read once at half the width of the old
+    separate value/position arrays. Same output contract as
+    :func:`assemble_tiles`: int16[total] stream-order coefficients,
+    natural order within each data unit. With ``return_dc`` also returns
+    an int16[>= total//64] vector of per-data-unit difference-coded DC
+    values (the expand kernel's narrow side output, leftover-corrected)
+    for the DC stage.
+
+    ``pos_offset`` (a multiple of 64) rebases global record positions to
+    this call's [0, total) range — merged-lane batches slice their emit
+    buffers per image and assemble each image at single-image shapes
+    (parallel/batch.py), passing the image's position base here;
     ``du0_raw`` must already be rebased by the caller.
 
     ``s_trim`` statically trims the record slot axis before the interleave
@@ -496,9 +549,12 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     slots. Lanes whose slot count exceeds the trim drain through the
     leftover scatter with their full record lists — exactness does not
     depend on the trim."""
-    s_cap, lanes = val.shape
+    from .huffman import unpack_record
+
+    s_cap, lanes = rec.shape
     assert total % C.DATA_UNIT_SIZE == 0
     assert lanes % G == 0
+    assert 0 < super_d <= 512  # pk packs d_rel << 6 | iz into int16
     n_st = lanes // G
     # the expand kernel gathers supertile blocks q[g] .. q[g]+W-1 and
     # _super_slab clips q to n_st - W: with fewer supertiles than the
@@ -507,11 +563,12 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     # would sum into every group more than once
     W = min(W, n_st)
     n_du = total // C.DATA_UNIT_SIZE
-    n_groups = -(-(n_du + 2) // _GROUP_DU)
+    n_groups = -(-(n_du + 2) // group_du)
 
     S = min(s_trim, s_cap)
     assert S % _ROUND_R == 0, S  # stage-1 round reads must not overrun
-    val_t, wpos_t = val[:S], wpos[:S]
+    val_t, wl_t = unpack_record(rec[:S])
+    wpos_t = wl_t + pos0[None, :]  # global position (valid slots only)
     over_trim = m > S
 
     du0 = jax.lax.cummax(du0_raw)
@@ -521,24 +578,24 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
     st_l = jnp.arange(lanes, dtype=jnp.int32) // G
 
     slot = jnp.arange(S, dtype=jnp.int32)[:, None]
-    valid = (slot < m[None, :]) & (wpos_t >= 0)
+    valid = (slot < m[None, :]) & (wl_t >= 0)
     assert pos_offset % C.DATA_UNIT_SIZE == 0
     du = (wpos_t >> 6) - pos_offset // C.DATA_UNIT_SIZE
     max_du = jnp.max(jnp.where(valid, du, -1), axis=0)
-    span_over = (max_du - base_l) >= _SUPER_D
+    span_over = (max_du - base_l) >= super_d
     inc1 = ~(span_over | unsorted | over_trim) & (m > 0)
-    q1 = _super_slab(base, max_du, inc1, G, n_groups, W)
-    g_first = jnp.clip(du0 // _GROUP_DU, 0, n_groups - 1)
+    q1 = _super_slab(base, max_du, inc1, G, n_groups, W, group_du)
+    g_first = jnp.clip(du0 // group_du, 0, n_groups - 1)
     window_over = (st_l - q1[g_first]) >= W
     leftover = (span_over | unsorted | window_over | over_trim) & (m > 0)
     include = ~leftover & (m > 0)
     # final q can only move windows upward; every lane that passed the q1
     # check still fits (st - q shrinks) and q[g] <= st holds for every
     # included lane touching g by the reach construction
-    q = _super_slab(base, max_du, include, G, n_groups, W)
+    q = _super_slab(base, max_du, include, G, n_groups, W, group_du)
 
     d_rel = du - base_l[None, :]
-    ok = (valid & include[None, :] & (d_rel >= 0) & (d_rel < _SUPER_D))
+    ok = (valid & include[None, :] & (d_rel >= 0) & (d_rel < super_d))
     pk = jnp.where(ok, (d_rel << 6) | (wpos_t & 63), -1).astype(jnp.int16)
 
     def rows(x):
@@ -547,20 +604,31 @@ def assemble_supertiles(val, wpos, m, du0_raw, total: int, G: int, W: int,
 
     mmax_st = jnp.max(jnp.where(include, m, 0).reshape(n_st, G),
                       axis=1).astype(jnp.int32).reshape(n_st, 1)
-    stiles = supertiles_from_records(rows(val_t.astype(jnp.int16)),
-                                     rows(pk), mmax_st, G, dot=dot)
+    edot = resolve_expand_dot(expand_dot)
+    vr, pr = rows(val_t.astype(jnp.int16)), rows(pk)
+    if _upto == "prep":
+        return (vr[:1, :1] + pr[:1, :1]).reshape(-1).astype(jnp.int16)
+    # widest round that divides the trim (<= 256): at the tuned s_trim 256
+    # the whole record list contracts in ONE 256-slot round — half the dot
+    # issues and loop iterations of 128-slot rounds (v5e 2026-08-20 r5)
+    round_r = 256 if S % 256 == 0 else _ROUND_R
+    stiles = supertiles_from_records(vr, pr, mmax_st, G, dot=dot,
+                                     planes=edot == "int8",
+                                     round_r=round_r, super_d=super_d)
+    if _upto == "stage1":
+        return stiles[:1, :1, :1].reshape(-1).astype(jnp.int16)
     out2d, dc2d = expand_supertiles(stiles, base, q, n_groups, W,
-                                    dot=resolve_expand_dot(expand_dot))
+                                    dot=edot, group_du=group_du)
 
     out_flat = out2d.reshape(-1)
     if return_dc:
         dc_flat = dc2d[:, 0]
-        out_flat, dc_flat = scatter_leftover(out_flat, val, wpos, m,
+        out_flat, dc_flat = scatter_leftover(out_flat, rec, m, pos0,
                                              leftover, total, s_trim=s_trim,
                                              dc_flat=dc_flat,
                                              pos_offset=pos_offset)
         return out_flat[:total], dc_flat
-    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover,
+    out_flat = scatter_leftover(out_flat, rec, m, pos0, leftover,
                                 total, s_trim=s_trim,
                                 pos_offset=pos_offset)
     return out_flat[:total]
@@ -658,7 +726,7 @@ def _slab_index(du0, max_du, include, lanes, n_groups):
     return jnp.clip(l0 // _SLAB, 0, max(lanes // _SLAB - 2, 0))
 
 
-def scatter_leftover(out_flat, val, wpos, m, leftover, total,
+def scatter_leftover(out_flat, rec, m, pos0, leftover, total,
                      s_trim: int = 512, dc_flat=None,
                      pos_offset: int = 0):
     """Element-scatter the records of leftover lanes until none remain.
@@ -669,6 +737,9 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
     only the first ``s_trim`` record slots (a handful of lanes x ~250
     real records on photographic content — one small round). Lanes whose
     record count exceeds the trim drain through a second full-depth tier.
+    ``rec`` is the packed emission (ops/huffman.pack_record), unpacked
+    only at the compacted round width; ``pos0`` rebases lane-local record
+    positions to global ones.
 
     ``out_flat`` carries a drop slot at index ``total`` and is in *natural*
     order (the expand kernel already permuted); leftover targets convert
@@ -679,13 +750,15 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
     expand kernel's per-data-unit DC side vector), each round also adds
     its DC records (zig-zag index 0) there, and ``(out_flat, dc_flat)``
     is returned — int16 wrap matches the later DC wrap arithmetic."""
-    s_cap, lanes = val.shape
+    from .huffman import unpack_record
+
+    s_cap, lanes = rec.shape
     K = min(_LEFTOVER_K, lanes)
     nat = jnp.asarray(np.asarray(C.ORDER_NATURAL, np.int32))
     n_dc = 0 if dc_flat is None else dc_flat.shape[0]
 
-    def tier(out_flat, dc_flat, left, vals, wposs):
-        depth = vals.shape[0]
+    def tier(out_flat, dc_flat, left, recs):
+        depth = recs.shape[0]
         slot_i = jnp.arange(depth, dtype=jnp.int32)[:, None]
 
         def body(state):
@@ -699,12 +772,13 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
                 jnp.int32)
             sel = idx_raw < lanes
             idx = jnp.clip(idx_raw, 0, lanes - 1)
-            v = vals[:, idx].astype(jnp.int16)
-            # rebase global record positions (inert slots carry -1 and
-            # stay negative: pos_offset >= 0)
-            w = wposs[:, idx] - pos_offset
+            v32, wl = unpack_record(recs[:, idx])
+            v = v32.astype(jnp.int16)
+            # rebase lane-local record positions to this call's range
+            # (inert slots carry wl = -1)
+            w = wl + (pos0[idx] - pos_offset)[None, :]
             mm = m[idx]
-            ok = sel[None, :] & (slot_i < mm[None, :]) & (w >= 0)
+            ok = sel[None, :] & (slot_i < mm[None, :]) & (wl >= 0) & (w >= 0)
             w = jnp.clip(w, 0, total - 1)
             w_nat = ((w >> 6) << 6) | nat[w & 63]
             tgt = jnp.where(ok, w_nat, total)
@@ -729,24 +803,32 @@ def scatter_leftover(out_flat, val, wpos, m, leftover, total,
 
     S = min(s_trim, s_cap)
     if S == s_cap:
-        out_flat, dc_flat = tier(out_flat, dc_flat, leftover, val, wpos)
+        out_flat, dc_flat = tier(out_flat, dc_flat, leftover, rec)
     else:
         out_flat, dc_flat = tier(out_flat, dc_flat, leftover & (m <= S),
-                                 val[:S], wpos[:S])
+                                 rec[:S])
         out_flat, dc_flat = tier(out_flat, dc_flat, leftover & (m > S),
-                                 val, wpos)
+                                 rec)
     if dc_flat is None:
         return out_flat
     return out_flat, dc_flat
 
 
-def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
+def assemble_tiles(rec, m, du0, pos0, total: int, tile_d: int = _TILE_D,
                    tile_dot: str = "f32"):
     """Full record assembly: tiles + expand + leftover + natural reorder.
 
+    ``rec``/``pos0`` follow the packed-emission contract of
+    :func:`assemble_supertiles`; this (rare, sparse-scan) path widens the
+    full-depth buffer to separate value/position arrays up front.
     Returns int16[total] stream-order coefficients (natural order within
     each data unit, matching decode_write).
     """
+    from .huffman import unpack_record
+
+    v32, wl = unpack_record(rec)
+    val = v32.astype(jnp.int16)
+    wpos = jnp.where(wl >= 0, wl + pos0[None, :], -1)
     lanes = val.shape[1]
     assert total % C.DATA_UNIT_SIZE == 0
     n_du = total // C.DATA_UNIT_SIZE
@@ -778,7 +860,7 @@ def assemble_tiles(val, wpos, m, du0, total: int, tile_d: int = _TILE_D,
     out2d = expand_tiles(tiles, du0, q, n_groups)  # natural order already
 
     out_flat = out2d.reshape(-1)
-    out_flat = scatter_leftover(out_flat, val, wpos, m, leftover, total)
+    out_flat = scatter_leftover(out_flat, rec, m, pos0, leftover, total)
     return out_flat[:total]
 
 
@@ -805,21 +887,23 @@ def decode_write_tiles(cfg, arrs, ctx, p, c, z, n_off, pos_base=None,
     from . import huffman as H
 
     total = cfg.total_positions if total_out is None else total_out
-    val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off,
-                                       pos_base=pos_base, bound=bound,
-                                       total_out=total_out, entry=entry)
+    rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off,
+                                 pos_base=pos_base, bound=bound,
+                                 total_out=total_out, entry=entry)
     seg = arrs.seg_of_subseq
     seg_pos_base = (seg * cfg.positions_per_seg if pos_base is None
                     else pos_base)
     pos0 = seg_pos_base + n_off
     du0 = pos0 >> 6
     if resolve_tile_mode(cfg.tuning.tile_mode, cfg.tile_auto) == "super":
-        out = assemble_supertiles(val, wpos, m, du0, total, cfg.super_g,
+        out = assemble_supertiles(rec, m, du0, pos0, total, cfg.super_g,
                                   cfg.super_w, s_trim=cfg.tuning.s_trim,
                                   dot=resolve_super_dot(cfg.tuning.tile_dot),
                                   expand_dot=cfg.tuning.expand_dot,
-                                  return_dc=return_dc)
+                                  return_dc=return_dc,
+                                  group_du=cfg.group_du,
+                                  super_d=cfg.super_d)
         return out
-    coeffs = assemble_tiles(val, wpos, m, du0, total, cfg.tile_d,
+    coeffs = assemble_tiles(rec, m, du0, pos0, total, cfg.tile_d,
                             cfg.tuning.tile_dot)
     return (coeffs, None) if return_dc else coeffs

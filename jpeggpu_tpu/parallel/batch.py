@@ -137,20 +137,22 @@ def _merged_scan_coeffs_split(sp, scans_merged, batch: int):
     ctx = H.make_ctx(cfg_m, arrs)
     p, c, z, n = H.sync_states(cfg_m, arrs, ctx)
     n_off = H.symbol_offsets(cfg_m, arrs, n)
-    val, wpos, m = H.decode_write_emit(
+    rec, m = H.decode_write_emit(
         cfg_m, arrs, ctx, p, c, z, n_off,
         pos_base=scans_merged["pos_base"], bound=scans_merged["pos_bound"],
         total_out=batch * T)
-    du0 = (scans_merged["pos_base"] + n_off) >> 6
+    pos0 = scans_merged["pos_base"] + n_off
+    du0 = pos0 >> 6
     out = []
     for b in range(batch):
         sl = slice(b * L, (b + 1) * L)
         co, dcb = WP.assemble_supertiles(
-            val[:, sl], wpos[:, sl], m[sl], du0[sl] - b * tdu, T,
+            rec[:, sl], m[sl], du0[sl] - b * tdu, pos0[sl], T,
             cfg0.super_g, cfg0.super_w, s_trim=cfg0.tuning.s_trim,
             dot=WP.resolve_super_dot(cfg0.tuning.tile_dot),
             expand_dot=cfg0.tuning.expand_dot, return_dc=True,
-            pos_offset=b * T)
+            pos_offset=b * T, group_du=cfg0.group_du,
+            super_d=cfg0.super_d)
         out.append((co, dcb))
     return out
 
@@ -334,8 +336,8 @@ def _geometry_key(sig: PlanSignature) -> PlanSignature:
             sp, scan_bytes_padded=0,
             cfg=dataclasses.replace(sp.cfg, num_subseq=0, lanes=0,
                                     tile_d=0, super_g=0, super_w=0,
-                                    tile_auto="", hv_rows=0,
-                                    hv_slot_rows=(0,) * 8))
+                                    super_d=0, group_du=0, tile_auto="",
+                                    hv_rows=0, hv_slot_rows=(0,) * 8))
         for sp in sig.scans)
     return PlanSignature(scans=scans, comp_sizes=sig.comp_sizes)
 
@@ -431,7 +433,11 @@ class BatchDecoder:
                  max(prelim[i].signature.scans[s].cfg.super_w for i in idxs),
                  ("lane" if any(
                      prelim[i].signature.scans[s].cfg.tile_auto == "lane"
-                     for i in idxs) else "super"))
+                     for i in idxs) else "super"),
+                 max(prelim[i].signature.scans[s].cfg.group_du
+                     for i in idxs),
+                 max(prelim[i].signature.scans[s].cfg.super_d
+                     for i in idxs))
                 for s in range(nscans))
             for i in idxs:
                 plan = (prelim[i] if len(idxs) == 1

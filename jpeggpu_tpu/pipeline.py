@@ -103,28 +103,35 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                   max(scan.num_subsequences, 1))
         tile_d = next((d for d in (32, 64, 96, 128)
                        if d >= 5.0 * avg_du), 128)
-        # supertile group size (tile_mode="super"): G consecutive lanes
-        # share one 128-row data-unit window. Target <=~35% typical fill
-        # (G*avg_du in (22.5, 45]): low-entropy lanes span several times
-        # the average, and a single over-spanning lane sends its whole
-        # group's records to the leftover scatter — on the 12 MP bench
-        # records G=4 leaves 3 span-over lanes where G=8 leaves 644.
-        # Power of two for lane-bucket divisibility.
-        super_g = 2
-        while super_g < 32 and (2 * super_g) * avg_du <= 90.0:
-            super_g *= 2
-        # expand window: supertiles per 128-du output group. Dense regions
-        # pack ~2-3x more supertiles per group than the global average, so
-        # the window is 2x the average extent plus slack (W=8 covers the
-        # bench image's p100; lanes past the window drain through the
-        # leftover scatter). Expand cost is ~0.1 ms per W step — cheap
-        # relative to leftover rounds.
-        avg_extent = -(-128 // max(int(super_g * avg_du), 1))
-        # 2x the average extent, no extra slack: measured on v5e 2026-08-20
-        # (12 MP, avg_extent 3): W=6 assembles in 5.02 ms vs 5.89 at W=8,
-        # while W=4 (under 2x) floods the leftover scatter (15.7 ms) —
-        # the 2x factor is the cliff margin, the +2 was pure cost
-        super_w = min(max(2 * avg_extent, 4), 12)
+        # supertile geometry (tile_mode="super"): G consecutive lanes
+        # share one super_d-row data-unit window. Target <=~35% typical
+        # fill (G*avg_du <= 0.35*super_d): low-entropy lanes span several
+        # times the average, and a single over-spanning lane sends its
+        # whole group's records to the leftover scatter — on the 12 MP
+        # bench at D=128, G=4 leaves 3 span-over lanes where G=8 leaves
+        # 644. Power of two for lane-bucket divisibility.
+        super_d = tuning.super_d or 128
+        super_g = tuning.super_g
+        if not super_g:
+            super_g = 2
+            while super_g < 32 and (2 * super_g) * avg_du <= 0.703 * super_d:
+                super_g *= 2
+        # expand output-group size: data units gathered per expand grid
+        # step. Larger groups amortize the per-step cost (window refetch,
+        # dot issue) over more rows at the price of a wider one-hot build
+        # per row; 256 measured best on v5e (2026-08-20 r5 sweep).
+        group_du = tuning.group_du or 256
+        # expand window: supertiles per group_du-wide output group. Dense
+        # regions pack ~2-3x more supertiles per group than the global
+        # average, so the window is 2x the average extent plus slack
+        # (lanes past the window drain through the leftover scatter).
+        avg_extent = -(-group_du // max(int(super_g * avg_du), 1))
+        # 2x the average extent: measured on v5e 2026-08-20 (12 MP,
+        # group_du 128, avg_extent 3): W=6 assembles in 5.02 ms vs 5.89 at
+        # W=8, while W=4 (under 2x) floods the leftover scatter (15.7 ms)
+        # — the 2x factor is the cliff margin, extra slack pure cost. The
+        # cap scales with the group (VMEM window is W x 16 KiB — cheap).
+        super_w = min(max(2 * avg_extent, 4), 4 + group_du // 16)
         # sparse scans (mid-quality large images, avg_du >~ 55): even the
         # minimum 2-lane supertile group typically spans >= the 128-row
         # window, sending ~every second lane through the serial leftover
@@ -166,6 +173,11 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
                 # sparse members
                 if pad_scans[si][7] == "lane":
                     tile_auto = "lane"
+            if len(pad_scans[si]) > 8:
+                group_du = max(group_du, pad_scans[si][8])
+            if len(pad_scans[si]) > 9:
+                # a larger window is always safe (less span overflow)
+                super_d = max(super_d, pad_scans[si][9])
         slot_rows = [min(r, hv_rows) for r in slot_rows]
         comps = []
         for sc in scan.components:
@@ -197,6 +209,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
             tile_d=tile_d,
             super_g=super_g,
             super_w=super_w,
+            super_d=super_d,
+            group_du=group_du,
             tile_auto=tile_auto,
             hv_rows=hv_rows,
             hv_slot_rows=tuple(slot_rows),

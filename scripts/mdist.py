@@ -35,7 +35,7 @@ def main():
         ctx = H.make_ctx(cfg, arrs)
         p, c, z, n = H.sync_states(cfg, arrs, ctx)
         n_off = H.symbol_offsets(cfg, arrs, n)
-        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
         return m
 
     m = np.asarray(jax.jit(f).lower(inp).compile()(inp)).astype(np.int64)

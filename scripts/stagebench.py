@@ -130,16 +130,20 @@ def main() -> int:
         ctx = H.make_ctx(cfg, arrs)
         p, c, z, n = H.sync_states(cfg, arrs, ctx)
         n_off = H.symbol_offsets(cfg, arrs, n)
-        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
-        return val[0:1, 0:1].astype(jnp.int32) + wpos[0:1, 0:1] + m[0:1]
+        rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        return rec[0:1, 0:1] + m[0:1]
 
     def f_asm(i):
         arrs = mk_arrs(i)
         ctx = H.make_ctx(cfg, arrs)
         p, c, z, n = H.sync_states(cfg, arrs, ctx)
         n_off = H.symbol_offsets(cfg, arrs, n)
-        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
-        coeffs = H.assemble_coefficients(val, wpos, m, cfg.total_positions)
+        rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        pos0 = arrs.seg_of_subseq * cfg.positions_per_seg + n_off
+        v32, wl = H.unpack_record(rec)
+        wpos = jnp.where(wl >= 0, wl + pos0[None, :], -1)
+        coeffs = H.assemble_coefficients(v32.astype(jnp.int16), wpos, m,
+                                         cfg.total_positions)
         return coeffs[0:1]
 
     def f_scatter(i):
@@ -165,10 +169,13 @@ def main() -> int:
         ctx = H.make_ctx(cfg, arrs)
         p, c, z, n = H.sync_states(cfg, arrs, ctx)
         n_off = H.symbol_offsets(cfg, arrs, n)
-        val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+        rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
         seg = arrs.seg_of_subseq
         pos0 = seg * cfg.positions_per_seg + n_off
         du0 = jax.lax.cummax(pos0 >> 6)
+        v32, wl = H.unpack_record(rec)
+        val = v32.astype(jnp.int16)
+        wpos = jnp.where(wl >= 0, wl + pos0[None, :], -1)
         tiles = WP.tiles_from_records(val, wpos, m, du0,
                                       jnp.ones(cfg.lanes, jnp.bool_),
                                       cfg.tile_d)
@@ -322,28 +329,34 @@ def main() -> int:
         def st_emit(st, bump):
             i, arrs, ctx, p, c, z, n = st
             n_off = H.symbol_offsets(cfg, arrs, n)
-            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p + bump, c,
-                                               z, n_off)
-            return wpos[0] + m
+            rec, m = H.decode_write_emit(cfg, arrs, ctx, p + bump, c,
+                                         z, n_off)
+            return rec[0] + m
 
         def pre_emit(i):
             i, arrs, ctx, p, c, z, n = pre_sync(i)
             n_off = H.symbol_offsets(cfg, arrs, n)
-            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z,
-                                               n_off)
+            rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
             seg = arrs.seg_of_subseq
             pos0 = seg * cfg.positions_per_seg + n_off
             du0 = pos0 >> 6
-            return val, wpos, m, du0
+            return rec, m, du0, pos0
 
-        def st_asm(st, bump):
-            val, wpos, m, du0 = st
-            return WP.assemble_supertiles(
-                val + bump.astype(val.dtype), wpos, m, du0,
-                cfg.total_positions, cfg.super_g, cfg.super_w,
-                s_trim=cfg.tuning.s_trim,
-                dot=WP.resolve_super_dot(cfg.tuning.tile_dot),
-                expand_dot=cfg.tuning.expand_dot)
+        def mk_asm(upto):
+            def st(st_, bump):
+                rec, m, du0, pos0 = st_
+                return WP.assemble_supertiles(
+                    rec + bump.astype(rec.dtype), m, du0, pos0,
+                    cfg.total_positions, cfg.super_g, cfg.super_w,
+                    s_trim=cfg.tuning.s_trim,
+                    dot=WP.resolve_super_dot(cfg.tuning.tile_dot),
+                    expand_dot=cfg.tuning.expand_dot,
+                    group_du=cfg.group_du, _upto=upto)
+            return st
+
+        st_asm = mk_asm(None)
+        st_asm_prep = mk_asm("prep")
+        st_asm_stage1 = mk_asm("stage1")
 
         def pre_scan(i):
             return H.decode_scan(cfg, mk_arrs(i))
@@ -437,6 +450,8 @@ def main() -> int:
             ("syncst_ms", pre_ctx, st_sync),
             ("emit_ms", pre_sync, st_emit),
             ("asm_ms", pre_emit, st_asm),
+            ("asm_prep_ms", pre_emit, st_asm_prep),
+            ("asm_stage1_ms", pre_emit, st_asm_stage1),
             ("dc_ms", pre_scan, st_dc),
             ("dcv_ms", pre_scan, st_dcv),
             ("dcv2_ms", pre_scan_dc, st_dcv2),
@@ -463,8 +478,8 @@ def main() -> int:
             ctx = H.make_ctx(cfg, arrs)
             p, c, z, n = H.sync_states(cfg, arrs, ctx)
             n_off = H.symbol_offsets(cfg, arrs, n)
-            val, wpos, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
-            return wpos[0] + m
+            rec, m = H.decode_write_emit(cfg, arrs, ctx, p, c, z, n_off)
+            return rec[0] + m
 
         def s_scan(i, w):
             return H.decode_scan(cfg, mk_arrs(i, w)).astype(jnp.int32)

@@ -184,11 +184,14 @@ def main() -> int:
                 ctx = H.make_ctx(cfg0, arrs)
                 p, c, z, n = H.sync_states(cfg0, arrs, ctx)
                 n_off = H.symbol_offsets(cfg0, arrs, n)
-                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
-                                                   n_off)
+                rec, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                             n_off)
                 seg = arrs.seg_of_subseq
                 pos0 = seg * cfg0.positions_per_seg + n_off
                 du0 = jax.lax.cummax(pos0 >> 6)
+                v32, wl = H.unpack_record(rec)
+                val = v32.astype(jnp.int16)
+                wpos = jnp.where(wl >= 0, wl + pos0[None, :], -1)
                 inc = jnp.ones(cfg0.lanes, jnp.bool_)
                 acc = jnp.zeros((), jnp.int16)
                 tot = jnp.int32(0)
@@ -230,19 +233,20 @@ def main() -> int:
                 ctx = H.make_ctx(cfg0, arrs)
                 p, c, z, n = H.sync_states(cfg0, arrs, ctx)
                 n_off = H.symbol_offsets(cfg0, arrs, n)
-                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
-                                                   n_off)
+                rec, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                             n_off)
                 seg = arrs.seg_of_subseq
                 pos0 = seg * cfg0.positions_per_seg + n_off
                 du0 = pos0 >> 6
                 acc = jnp.zeros((), jnp.int16)
                 tot = jnp.int32(0)
                 for _ in range(KK):
-                    v2 = jnp.where(acc == jnp.int16(-32768), val + 1, val)
+                    r2 = jnp.where(acc == jnp.int16(-32768), rec + 1, rec)
                     out2 = WP.assemble_supertiles(
-                        v2, wpos, m, du0, cfg0.total_positions,
+                        r2, m, du0, pos0, cfg0.total_positions,
                         cfg0.super_g, cfg0.super_w if W is None else W,
-                        s_trim=s_trim, dot=dot, expand_dot=expand_dot)
+                        s_trim=s_trim, dot=dot, expand_dot=expand_dot,
+                        group_du=cfg0.group_du)
                     s = out2[0].astype(jnp.int32) + out2[-1].astype(jnp.int32)
                     acc = s.astype(jnp.int16)
                     tot = tot + s
@@ -261,10 +265,13 @@ def main() -> int:
                 ctx = H.make_ctx(cfg0, arrs)
                 p, c, z, n = H.sync_states(cfg0, arrs, ctx)
                 n_off = H.symbol_offsets(cfg0, arrs, n)
-                val, wpos, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
-                                                   n_off)
+                rec, m = H.decode_write_emit(cfg0, arrs, ctx, p, c, z,
+                                             n_off)
                 seg = arrs.seg_of_subseq
                 pos0 = seg * cfg0.positions_per_seg + n_off
+                v32w, wlw = H.unpack_record(rec)
+                val = v32w.astype(jnp2.int16)
+                wpos = jnp2.where(wlw >= 0, wlw + pos0[None, :], -1)
                 du0_raw = jax.lax.cummax(pos0 >> 6)
                 G, W = cfg0.super_g, cfg0.super_w
                 total = cfg0.total_positions

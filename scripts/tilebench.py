@@ -126,19 +126,30 @@ def main() -> int:
               f" compile+warm {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
 
+    def pack(i, v):
+        # synthetic records -> packed contract (pos0 anchored at each
+        # lane's first data unit; spans fit the int16 local half)
+        from jpeggpu_tpu.ops import huffman as H
+
+        pos0 = i["du0"] * 64
+        wl = jnp.where(i["wpos"] >= 0, i["wpos"] - pos0[None, :], -1)
+        return H.pack_record(v.astype(jnp.int32), wl), pos0
+
     if probe == "lane":
         slope("stage1_d96_ms", lambda i, v: WP.tiles_from_records(
             v, i["wpos"], i["m"], i["du0"], i["inc"], 96))
         slope("stage1_d64_ms", lambda i, v: WP.tiles_from_records(
             v, i["wpos"], i["m"], i["du0"], i["inc"], 64))
         slope("assemble_lane_ms", lambda i, v: WP.assemble_tiles(
-            v, i["wpos"], i["m"], i["du0"], total, 96, "f32"))
+            *pack(i, v)[:1], i["m"], i["du0"], pack(i, v)[1], total, 96,
+            "f32"))
 
     elif probe == "super":
         slope("assemble_super_ms", lambda i, v: WP.assemble_supertiles(
-            v, i["wpos"], i["m"], i["du0"], total, 8, 4))
+            pack(i, v)[0], i["m"], i["du0"], pack(i, v)[1], total, 8, 4))
         slope("assemble_lane_ms", lambda i, v: WP.assemble_tiles(
-            v, i["wpos"], i["m"], i["du0"], total, 96, "f32"))
+            pack(i, v)[0], i["m"], i["du0"], pack(i, v)[1], total, 96,
+            "f32"))
 
     elif probe == "decomp":
         # per-lane round body with and without the dot: if build-only ~= full,

@@ -191,3 +191,37 @@ def test_bitexact_flat_image():
     # long EOB runs: few symbols, many positions per subsequence
     img = np.full((64, 96, 3), 200, np.uint8)
     _check(encode(img, EncodeSpec(sampling=[(2, 2), (1, 1), (1, 1)])))
+
+
+def test_bitexact_per_scan_dht_redefinition(test_image):
+    """A DHT between SOSs redefines the SAME table ids with different
+    contents (T.81 allows this; cf. reference reader.cpp:434-441): the
+    reader must snapshot tables per scan (reader.py) so each scan decodes
+    with the tables in effect at ITS SOS, and the device pipeline must
+    honor the per-scan snapshot bit-exactly."""
+    from jpeggpu_tpu.reader import parse
+
+    data = encode(test_image, EncodeSpec(
+        sampling=[(1, 1), (1, 1), (1, 1)], interleaved=False,
+        table_ids=[(0, 0)] * 3, dht_per_scan=True))
+    s = parse(data)
+    assert len(s.scans) == 3
+    # the redefinition must be real: at least one later scan's snapshot of
+    # table slot (DC 0 / AC 0) differs from scan 0's
+    slots = [0 * 2 + 0, 0 * 2 + 1]  # id 0, HUFF_DC / HUFF_AC packed slots
+    differs = any(
+        not np.array_equal(s.scans[0].huff_tables[t].maxcode,
+                           s.scans[k].huff_tables[t].maxcode)
+        or not np.array_equal(s.scans[0].huff_tables[t].huffval,
+                              s.scans[k].huff_tables[t].huffval)
+        for k in (1, 2) for t in slots)
+    assert differs, "encoder emitted identical tables; test is vacuous"
+    _check(data)
+
+
+def test_bitexact_per_scan_dht_with_restarts(test_image):
+    """Per-scan table redefinition combined with restart intervals."""
+    data = encode(test_image, EncodeSpec(
+        sampling=[(1, 1), (1, 1), (1, 1)], interleaved=False,
+        table_ids=[(0, 0)] * 3, dht_per_scan=True, restart_interval=5))
+    _check(data)

@@ -318,8 +318,11 @@ def test_expand_int8_shared_cells_extremes():
     outs = {}
     dcs = {}
     for dot in ("f32", "int8"):
+        # int8 mode consumes the stage-1 byte-plane form
+        tin = (WP.tiles_to_planes(stiles) if dot == "int8"
+               else jnp.asarray(stiles))
         o, d = WP.expand_supertiles(
-            jnp.asarray(stiles), jnp.asarray(base), jnp.asarray(q),
+            tin, jnp.asarray(base), jnp.asarray(q),
             n_groups, n_st, dot=dot)
         outs[dot] = np.asarray(o).astype(np.int16)
         dcs[dot] = np.asarray(d).astype(np.int16)
@@ -416,8 +419,8 @@ def test_write_tiles_slot_trim_fallback(test_image, monkeypatch):
 
     orig = WP.assemble_supertiles
 
-    def tiny_trim(val, wpos, m, du0_raw, total, G, W, s_trim=512, **kw):
-        return orig(val, wpos, m, du0_raw, total, G, W, s_trim=128, **kw)
+    def tiny_trim(*args, s_trim=512, **kw):
+        return orig(*args, s_trim=128, **kw)
 
     monkeypatch.setattr(WP, "assemble_supertiles", tiny_trim)
     # the AOT executable cache keys on the plan signature, which cannot see
