@@ -139,6 +139,12 @@ class Tuning:
     wide_follow: int = 0
     tail_width: int = 0
     tail_follow: int = 0
+    # shape of the compacted synchronization tiers (ops/huffman.py
+    # _resolve_sync_tiers): "ladder" = one tier per halving width from
+    # frontier_width down to ~64 (matches the frontier's per-round decay);
+    # "classic" = the wide/narrow/tail structure. "auto" = ladder on
+    # non-CPU backends.
+    sync_tiers: str = "auto"
     entropy_backend: str = "auto"
     write_mode: str = "auto"
     tile_dot: str = "auto"
@@ -236,6 +242,10 @@ class Tuning:
             raise ValueError("tail_width must be >= 0 (0 = auto)")
         if self.tail_follow < 0:
             raise ValueError("tail_follow must be >= 0 (0 = auto)")
+        if self.sync_tiers not in ("auto", "classic", "ladder"):
+            raise ValueError(
+                f"sync_tiers must be auto|classic|ladder, "
+                f"got {self.sync_tiers!r}")
         # power-of-two <= 128: keeps every 128-slot assembly-round boundary
         # aligned to a bit-buffer refill, so those slots are never stall
         # holes (ops/huffman.py assemble_coefficients reads slot 0's du);

@@ -887,8 +887,21 @@ def _decode_subseq_pass_xla(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
     return p, c, z, n
 
 
+def _resolve_sync_tiers(cfg: ScanConfig) -> str:
+    """Tuning.sync_tiers: shape of the post-round-1 compacted tiers.
+    "ladder" is the halving tier ladder (see sync_states), "classic" the
+    2+1-tier structure. "auto" selects ladder on non-CPU backends (v5e
+    2026-08-20 r5: 4.66 ms sync vs 6.15 classic on the 12 MP bench) —
+    on CPU the ~8 extra traced pass bodies are pure compile cost."""
+    mode = cfg.tuning.sync_tiers
+    if mode != "auto":
+        return mode
+    return "classic" if jax.default_backend() == "cpu" else "ladder"
+
+
 def _resolve_frontier_width(cfg: ScanConfig) -> int:
-    """Tuning.frontier_width; 0 = auto (the 2048-lane compacted tiers).
+    """Tuning.frontier_width; 0 = auto (the 2048-lane compacted tiers,
+    or lanes/2 for the ladder — its top tier IS the compaction budget).
 
     A full-width-Jacobi-only mode (no compaction; pass frontier_width=0
     to sync_states directly) was measured on v5e 2026-08-20 and LOST:
@@ -902,7 +915,16 @@ def _resolve_frontier_width(cfg: ScanConfig) -> int:
     fixed width would force ~log2(B) extra FULL-width rounds — each B
     times a single image's pass — before the frontier fits the tier."""
     fw = cfg.tuning.frontier_width
-    return max(2048, cfg.lanes // 12) if fw == 0 else fw
+    if fw != 0:
+        return fw
+    if _resolve_sync_tiers(cfg) == "ladder":
+        # lanes/4 (6144 at the 12 MP width) measured best on v5e
+        # (2026-08-20 r5: 4.87 ms vs 5.15 at lanes/6 and 6.97 at lanes/2
+        # — one full round for the 42% post-round-1 frontier, then
+        # halving tiers; a lanes/2 top tier pays a 12k-wide gather +
+        # scatter round for a 10k frontier a full round handles cheaper)
+        return max(128, cfg.lanes // 4)
+    return max(2048, cfg.lanes // 12)
 
 
 def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
@@ -1057,7 +1079,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             sc = jnp.where(at0, entry[1], sc)
             sz = jnp.where(at0, entry[2], sz)
         changed = alive  # heads always re-decode (their pred changed)
-        act_l, new_l, mark_l = [], [], []
+        act_l, new_l, mark_l, ch_l = [], [], [], []
         for f in range(follow):
             idxf = idx2c[:, f]
             activef = ok[:, f] & changed
@@ -1067,6 +1089,7 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             ch = activef & ((p2 != p[idxf]) | (c2 != c[idxf])
                             | (z2 != z[idxf]))
             act_l.append(activef)
+            ch_l.append(ch)
             new_l.append((p2, c2, z2, n2))
             # the chain continues past this round only from a changed
             # column whose successor was NOT decoded as the next phase
@@ -1077,18 +1100,25 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
             sp, sc, sz = p2, c2, z2
             changed = ch
         act = jnp.stack(act_l, axis=1)      # (width, follow)
+        chs = jnp.stack(ch_l, axis=1)
         mark = jnp.stack(mark_l, axis=1)
         # one scatter per state array; decoded columns are disjoint, and
         # dropped columns get distinct out-of-bounds sentinels so the
-        # unique-indices promise holds
-        upd_idx = jnp.where(act, idx2c, sentinel).reshape(-1)
+        # unique-indices promise holds. p/c/z scatter only CHANGED columns
+        # (an unchanged end state means the stored values are literally
+        # equal — the write is a no-op; the frontier halves per round so
+        # this halves the 8 ns/element scatter-back). n is written for
+        # every decoded column: self-synchronization can change the
+        # symbol count without changing the end state.
+        upd_idx_n = jnp.where(act, idx2c, sentinel).reshape(-1)
+        upd_idx_s = jnp.where(chs, idx2c, sentinel).reshape(-1)
         stk = lambda j: jnp.stack([t[j] for t in new_l], axis=1).reshape(-1)
-        upd = lambda full, flat: full.at[upd_idx].set(
+        upd = lambda full, flat, idx: full.at[idx].set(
             flat, mode="drop", unique_indices=True)
-        p = upd(p, stk(0))
-        c = upd(c, stk(1))
-        z = upd(z, stk(2))
-        n = upd(n, stk(3))
+        p = upd(p, stk(0), upd_idx_s)
+        c = upd(c, stk(1), upd_idx_s)
+        z = upd(z, stk(2), upd_idx_s)
+        n = upd(n, stk(3), upd_idx_n)
         # next head = successor of the (single) marked column, kept only
         # if it is a real, non-segment-first lane
         cand = jnp.sum(jnp.where(mark, idx2 + 1, 0), axis=1)
@@ -1098,6 +1128,58 @@ def sync_states(cfg: ScanConfig, arrs: ScanArrays, ctx: _Ctx,
                 & ~ctx.first_of_seg[candc])
         head = jnp.where(keep, cand, lanes)
         return p, c, z, n, head
+
+    # Halving tier ladder (sync_tiers="ladder"): one compacted tier per
+    # power-of-two width from K down to the tail, each typically one
+    # round. The mis-synced frontier HALVES per round on real content
+    # (BENCH.md syncdiag: 10345 -> 5222 -> 2648 -> ... of 24576), so a
+    # ladder of halving widths keeps every round's pass proportional to
+    # the actual frontier — where the classic 2-tier structure pays
+    # full-width rounds down to 2048 and fixed-width rounds below. Only
+    # viable with the cheap "rows" context gather (a per-round row take);
+    # the ladder's top tiers gather 4-12k contexts per round.
+    if _resolve_sync_tiers(cfg) == "ladder":
+        frontier = jnp.roll(delta, 1) & frontier_ok
+        head = jnp.nonzero(frontier, size=K,
+                           fill_value=lanes)[0].astype(jnp.int32)
+        widths = []
+        w = K
+        while w >= 128:
+            widths.append(w)
+            w //= 2
+        widths.append(max(w, 32))
+        it0p = it0
+        for i, wd in enumerate(widths):
+            nxt = widths[i + 1] if i + 1 < len(widths) else 0
+            fw_i = Fw if wd > 512 else F
+
+            def lbody(state, wd=wd, fw_i=fw_i):
+                p, c, z, n, head, it = state
+                p, c, z, n, head = compact_round(p, c, z, n, head, wd,
+                                                 fw_i)
+                return p, c, z, n, head, it + 1
+
+            def lcond(state, nxt=nxt):
+                head, it = state[4], state[5]
+                live = jnp.sum((head < lanes).astype(jnp.int32))
+                return (live > nxt) & (it < lanes)
+
+            p, c, z, n, head, it0p = jax.lax.while_loop(
+                lcond, lbody, (p, c, z, n, head, it0p))
+            if nxt:
+                # compact live heads to the next (halved) tier width: a
+                # nonzero+take, not a sort — live heads are already in
+                # ascending order (compact_round keeps them sorted), only
+                # interleaved with dead `lanes` sentinels
+                live_idx = jnp.nonzero(head < lanes, size=nxt,
+                                       fill_value=wd)[0].astype(jnp.int32)
+                head = jnp.where(live_idx < wd,
+                                 jnp.take(head,
+                                          jnp.clip(live_idx, 0, wd - 1)),
+                                 lanes)
+        if diag:
+            return p, c, z, n, it0, it0p
+        return p, c, z, n
 
     # Tier 1 (wide): ONE global compaction yields up to K chain heads;
     # each round advances its own heads locally — no full-width
