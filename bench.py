@@ -48,10 +48,12 @@ IMAGE = "/root/reference/images/IMG_6510.JPG"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 ITERS = 20
-# merged-lane batch size for the default headline's batch_mps field (tuned
-# on v5e 2026-08-20: B=8 414 MP/s, B=16 387, B=32 below that — the RTT is
-# already amortized at 8 and bigger merges lose; see BENCH.md batch table)
-DEFAULT_BATCH = 8
+# merged-lane batch size for the default headline's batch_mps field
+# (re-tuned on v5e 2026-08-20 r5 with packed emission: B=16 735 MP/s >
+# B=12 719 > B=8 705; the merged decode is exactly B x the single-image
+# device time at every stage — see BENCH.md — so larger B only amortizes
+# the dispatch RTT)
+DEFAULT_BATCH = 16
 
 
 def _stats(times):

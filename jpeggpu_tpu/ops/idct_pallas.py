@@ -188,6 +188,10 @@ def idct_stream_to_plane(coeffs: jax.Array, qtable: jax.Array,
         in_specs=in_specs,
         out_specs=[word_spec, word_spec],
         out_shape=[jax.ShapeDtypeStruct((h, u), jnp.int32)] * 2,
+        # wide images (26 MP: 390 MCU columns/block) push the kernel's
+        # scoped temporaries past Mosaic's default 16 MiB vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(*ins)
     # interleave the lo/hi words per unit, then let the byte lanes fan out:

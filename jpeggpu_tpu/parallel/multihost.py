@@ -106,18 +106,33 @@ class MultiHostBatchDecoder:
                 "multi-host batch must share one geometry bucket; group "
                 "images by signature before calling decode")
         inputs = [build_inputs(d, p) for d, p in zip(local_datas, plans)]
+        n_real = len(local_datas)
 
         d_local = len([d for d in self.mesh.devices.flat
                        if d.process_index == jax.process_index()])
+
+        # mixed per-host batch sizes: SPMD requires every process to build
+        # the SAME executable, so each host pads its local batch up to the
+        # global per-host maximum (rounded to a whole number of local
+        # devices) by repeating its last image; only the real results are
+        # returned. One tiny allgather of the counts per call.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.asarray([n_real], np.int32))
+            target = int(np.max(counts))
+            if d_local > 0:
+                target = -(-target // d_local) * d_local
+            inputs = inputs + [inputs[-1]] * (target - n_real)
         merged_ok = (
-            d_local > 0 and len(local_datas) % d_local == 0
+            d_local > 0 and len(inputs) % d_local == 0
             and all(sp.host_destuff for sp in sig.scans)
             and all(_tables_shared([bi["scans"][s] for bi in inputs])
                     for s in range(len(sig.scans))))
         if merged_ok:
-            return self._decode_merged(sig, inputs, d_local,
-                                       len(local_datas))
-        return self._decode_vmapped(sig, inputs, len(local_datas))
+            return self._decode_merged(sig, inputs, d_local, n_real)
+        return self._decode_vmapped(sig, inputs, n_real)
 
     def _decode_merged(self, sig: PlanSignature, inputs, d_local: int,
                        n_local: int) -> List[List[np.ndarray]]:
@@ -149,7 +164,9 @@ class MultiHostBatchDecoder:
         from .batch import _stack
         from ..pipeline import decode_pipeline
 
-        batch_global = n_local * self._nproc
+        # padded local count (mixed per-host batches are padded to a
+        # common size in decode(); n_local is the real count collected)
+        batch_global = len(inputs) * self._nproc
         local_scans = [_stack([bi["scans"][s] for bi in inputs])
                        for s in range(len(sig.scans))]
         local_qt = np.stack([bi["qtables"] for bi in inputs])
@@ -185,7 +202,10 @@ class MultiHostBatchDecoder:
             rows = np.concatenate([np.asarray(s.data) for s in shards])
             if per_shard:  # (D_local, k, H, W) -> (D_local*k, H, W)
                 rows = rows.reshape((-1,) + rows.shape[2:])
-            assert rows.shape[0] == n_local, rows.shape
+            # rows may exceed n_local when this host's batch was padded to
+            # the global per-host maximum (mixed counts); padded rows are
+            # repeats of the last real image and are dropped here
+            assert rows.shape[0] >= n_local, (rows.shape, n_local)
             for i in range(n_local):
                 results[i].append(rows[i])
         return results

@@ -66,6 +66,9 @@ def main() -> int:
     if "--only" in argv:  # value consumed where the probe sets read it
         i = argv.index("--only")
         argv = argv[:i] + argv[i + 2:]
+    if "--mb" in argv:  # merged-batch width, read by the merged probes
+        i = argv.index("--mb")
+        argv = argv[:i] + argv[i + 2:]
     lane2d = "auto"
     if "--lane2d" in argv:
         i = argv.index("--lane2d")
@@ -441,9 +444,125 @@ def main() -> int:
                                                    sz, ctx.lane_valid)
             return p2 + n2
 
+        # merged-batch stage probes (--only msync_ms,...): the merged-lane
+        # decode stages at B x single-image width, for locating where the
+        # batch regime loses per-image device time vs the single slope
+        MB = 8
+        if "--mb" in sys.argv:
+            MB = int(sys.argv[sys.argv.index("--mb") + 1])
+        import dataclasses as _dc
+
+        from jpeggpu_tpu.parallel import batch as PB
+
+        merged_np = PB.merge_scan_inputs(sp, [inputs["scans"][0]] * MB)
+        cfg_m = _dc.replace(cfg, lanes=MB * cfg.lanes,
+                            num_subseq=MB * cfg.num_subseq)
+        minp = jax.device_put({**merged_np, "qtables": inputs["qtables"]})
+
+        def mk_marrs(i):
+            return H.ScanArrays(
+                words=i["words"], seg_of_subseq=i["seg_of_subseq"],
+                seg_first_lane=i["seg_first_lane"],
+                seg_num_subseq=i["seg_num_subseq"], maxcode=i["maxcode"],
+                vsm=i["vsm"], huffval=i["huffval"])
+
+        def chain_m(name, prefix_fn, stage_fn, K=3):
+            def rep_f(KK):
+                def f(i):
+                    st = prefix_fn(i)
+                    acc = jnp.int32(0)
+                    tot = jnp.int32(0)
+                    for _ in range(KK):
+                        bump = (acc == jnp.int32(0x7EADBEEF)).astype(
+                            jnp.int32)
+                        o = stage_fn(st, bump)
+                        s2 = o.reshape(-1)[0].astype(jnp.int32)
+                        acc = s2
+                        tot = tot + s2
+                    return tot.reshape(1)
+                return f
+
+            t0 = time.time()
+            ts = {}
+            for KK in (1, K):
+                exe = jax.jit(rep_f(KK)).lower(minp).compile()
+                ts[KK] = timeit(
+                    lambda: np.asarray(exe(minp))[:1], iters) * 1e3
+            out[name] = (ts[K] - ts[1]) / (K - 1)
+            print(f"{name} (B={MB}): {out[name]:.2f} ms  (t1 {ts[1]:.1f}, "
+                  f"t{K} {ts[K]:.1f}, compile+warm {time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+
+        def mpre_ctx(i):
+            arrs = mk_marrs(i)
+            return arrs, H.make_ctx(cfg_m, arrs)
+
+        def mst_sync(st, bump):
+            arrs, cctx = st
+            import dataclasses as _dc2
+            ctx2 = _dc2.replace(cctx,
+                                seg_base_bits=cctx.seg_base_bits + bump)
+            p, c, z, n = H.sync_states(cfg_m, arrs, ctx2)
+            return p + n
+
+        def mpre_sync(i):
+            arrs = mk_marrs(i)
+            cctx = H.make_ctx(cfg_m, arrs)
+            p, c, z, n = H.sync_states(cfg_m, arrs, cctx)
+            return i, arrs, cctx, p, c, z, n
+
+        def mst_emit(st, bump):
+            i, arrs, cctx, p, c, z, n = st
+            n_off = H.symbol_offsets(cfg_m, arrs, n)
+            rec, mm = H.decode_write_emit(
+                cfg_m, arrs, cctx, p + bump, c, z, n_off,
+                pos_base=i["pos_base"], bound=i["pos_bound"],
+                total_out=MB * cfg.total_positions)
+            return rec[0] + mm
+
+        def mpre_emit(i):
+            i, arrs, cctx, p, c, z, n = mpre_sync(i)
+            n_off = H.symbol_offsets(cfg_m, arrs, n)
+            rec, mm = H.decode_write_emit(
+                cfg_m, arrs, cctx, p, c, z, n_off,
+                pos_base=i["pos_base"], bound=i["pos_bound"],
+                total_out=MB * cfg.total_positions)
+            pos0 = i["pos_base"] + n_off
+            return rec, mm, pos0
+
+        def mst_asm(st, bump):
+            from jpeggpu_tpu.ops import write_pallas as WP
+
+            rec, mm, pos0 = st
+            T = cfg.total_positions
+            tdu = T // 64
+            L = cfg.lanes
+            du0 = pos0 >> 6
+            outs = []
+            for b in range(MB):
+                sl = slice(b * L, (b + 1) * L)
+                co = WP.assemble_supertiles(
+                    rec[:, sl] + bump, mm[sl], du0[sl] - b * tdu, pos0[sl],
+                    T, cfg.super_g, cfg.super_w, s_trim=cfg.tuning.s_trim,
+                    dot=WP.resolve_super_dot(cfg.tuning.tile_dot),
+                    expand_dot=cfg.tuning.expand_dot,
+                    group_du=cfg.group_du, super_d=cfg.super_d,
+                    pos_offset=b * T)
+                outs.append(co[0].astype(jnp.int32))
+            return sum(outs).reshape(1)
+
         only = None
         if "--only" in sys.argv:
             only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        mprobes = [
+            ("msync_ms", mpre_ctx, mst_sync),
+            ("memit_ms", mpre_sync, mst_emit),
+            ("masm_ms", mpre_emit, mst_asm),
+        ]
+        if only is not None:
+            for name, pre, st in mprobes:
+                if name in only:
+                    chain_m(name, pre, st)
         probes2 = [
             ("pass_ms", pre_ctx, st_pass),
             ("round2_ms", pre_ctx, st_2round),

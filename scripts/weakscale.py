@@ -35,7 +35,14 @@ def worker() -> int:
     nproc = int(os.environ["WS_NPROC"])
     pid = int(os.environ["WS_PID"])
     port = os.environ["WS_PORT"]
-    imgs = int(os.environ["WS_IMGS"])
+    # WS_IMGS may be a comma list indexed by pid (mixed per-host batch
+    # sizes: MultiHostBatchDecoder pads to the global max internally)
+    imgs_spec = os.environ["WS_IMGS"]
+    if "," in imgs_spec:
+        counts = [int(x) for x in imgs_spec.split(",")]
+        imgs = counts[pid % len(counts)]
+    else:
+        imgs = int(imgs_spec)
     iters = int(os.environ["WS_ITERS"])
     size = int(os.environ["WS_SIZE"])
 
@@ -83,7 +90,7 @@ def worker() -> int:
     return 0
 
 
-def launch(nproc: int, imgs: int, iters: int, size: int) -> dict:
+def launch(nproc: int, imgs, iters: int, size: int) -> dict:
     port = str(29600 + nproc)
     ncpu = os.cpu_count() or 1
     procs = []
@@ -128,7 +135,9 @@ def main() -> int:
         while i < len(argv) and not argv[i].startswith("--"):
             nprocs.append(int(argv[i]))
             i += 1
-    imgs = int(argv[argv.index("--imgs") + 1]) if "--imgs" in argv else 4
+    imgs = argv[argv.index("--imgs") + 1] if "--imgs" in argv else "4"
+    if "," not in imgs:
+        imgs = int(imgs)
     iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 5
     size = int(argv[argv.index("--size") + 1]) if "--size" in argv else 136
     out_path = (argv[argv.index("--out") + 1] if "--out" in argv
