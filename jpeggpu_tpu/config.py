@@ -177,10 +177,12 @@ class Tuning:
     # resolved by build_plan — see ScanConfig.group_du)
     group_du: int = 0
     # supertile geometry overrides (0 = auto, resolved by build_plan —
-    # see ScanConfig.super_g / ScanConfig.super_d): lanes per supertile
-    # group and data-unit rows per supertile window
+    # see ScanConfig.super_g / ScanConfig.super_d / ScanConfig.super_w):
+    # lanes per supertile group, data-unit rows per supertile window, and
+    # expand window width in supertiles
     super_g: int = 0
     super_d: int = 0
+    super_w: int = 0
 
     def __post_init__(self):
         if self.entropy_backend not in ("auto", "xla", "pallas"):
@@ -225,6 +227,8 @@ class Tuning:
         if self.super_d < 0 or self.super_d % 8:
             raise ValueError(
                 "super_d must be a multiple of 8, or 0 (auto)")
+        if self.super_w < 0:
+            raise ValueError("super_w must be >= 0 (0 = auto)")
         for name in ("write_chunk", "straggler_width"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -131,7 +131,8 @@ def build_plan(stream: JpegStream, *, host_destuff: bool = True,
         # W=8, while W=4 (under 2x) floods the leftover scatter (15.7 ms)
         # — the 2x factor is the cliff margin, extra slack pure cost. The
         # cap scales with the group (VMEM window is W x 16 KiB — cheap).
-        super_w = min(max(2 * avg_extent, 4), 4 + group_du // 16)
+        super_w = (tuning.super_w
+                   or min(max(2 * avg_extent, 4), 4 + group_du // 16))
         # sparse scans (mid-quality large images, avg_du >~ 55): even the
         # minimum 2-lane supertile group typically spans >= the 128-row
         # window, sending ~every second lane through the serial leftover
